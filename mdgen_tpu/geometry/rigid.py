@@ -1,0 +1,256 @@
+"""SE(3) rigid transforms as a functional JAX pytree.
+
+TPU-first replacement for the reference's OpenFold ``Rotation``/``Rigid``
+class hierarchy (reference `mdgen/rigid_utils.py:282,813`): a ``Rigid`` here is
+a plain NamedTuple of a rotation-matrix stack and a translation stack, so it
+threads through ``jit``/``vmap``/``scan``/``shard_map`` with zero ceremony.
+Quaternions only appear at the tensor-7 (de)serialization boundary, via
+closed-form branch-free conversions (no ``eigh`` — that would not tile onto
+the MXU/VPU).
+
+Conventions (matching the reference so latent layouts are interchangeable):
+  * quaternions are (w, x, y, z), tensor-7 layout is [quat(4), trans(3)]
+  * ``from_3_points(p_neg_x, origin, p_xy)`` is AF2 algorithm 21
+    (reference `mdgen/rigid_utils.py:1176`)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Geometry is numerically sensitive (JSD-level metrics inherit frame errors),
+# and its 3x3 contractions are a negligible share of total FLOPs — so pin all
+# rigid-transform matmuls to full float32 instead of the default (TPU-style
+# bf16-input) matmul precision.
+_F32 = jax.lax.Precision.HIGHEST
+
+# ---------------------------------------------------------------------------
+# Quaternion <-> rotation matrix
+# ---------------------------------------------------------------------------
+
+
+def quat_to_rotmat(quat: jnp.ndarray) -> jnp.ndarray:
+    """[*, 4] (w,x,y,z) quaternion -> [*, 3, 3] rotation matrix.
+
+    Assumes a unit (or near-unit) quaternion; callers that decode model
+    outputs should pass ``normalize=True`` via :func:`normalize_quat` first.
+    """
+    w, x, y, z = jnp.moveaxis(quat, -1, 0)
+    xx, yy, zz = x * x, y * y, z * z
+    ww = w * w
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    rows = [
+        [ww + xx - yy - zz, 2 * (xy - wz), 2 * (xz + wy)],
+        [2 * (xy + wz), ww - xx + yy - zz, 2 * (yz - wx)],
+        [2 * (xz - wy), 2 * (yz + wx), ww - xx - yy + zz],
+    ]
+    return jnp.stack(
+        [jnp.stack(r, axis=-1) for r in rows], axis=-2
+    )
+
+
+def rotmat_to_quat(rot: jnp.ndarray) -> jnp.ndarray:
+    """[*, 3, 3] rotation matrix -> [*, 4] unit quaternion (w,x,y,z).
+
+    Branch-free Shepperd construction: evaluate all four candidate
+    quaternions and select the best-conditioned one with a gather. This keeps
+    everything on the VPU (the reference uses a 4x4 eigendecomposition,
+    `mdgen/rigid_utils.py:191`, which would be a scalar bottleneck on TPU).
+    Output sign is unspecified (q and -q encode the same rotation); callers
+    that need canonical sign should use :func:`canonicalize_quat_sign`.
+    """
+    m = rot
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+
+    tw = 1.0 + m00 + m11 + m22
+    tx = 1.0 + m00 - m11 - m22
+    ty = 1.0 - m00 + m11 - m22
+    tz = 1.0 - m00 - m11 + m22
+
+    # candidate quaternions, one per dominant component
+    qw = jnp.stack([tw, m21 - m12, m02 - m20, m10 - m01], axis=-1)
+    qx = jnp.stack([m21 - m12, tx, m01 + m10, m02 + m20], axis=-1)
+    qy = jnp.stack([m02 - m20, m01 + m10, ty, m12 + m21], axis=-1)
+    qz = jnp.stack([m10 - m01, m02 + m20, m12 + m21, tz], axis=-1)
+
+    cands = jnp.stack([qw, qx, qy, qz], axis=-2)  # [*, 4cand, 4]
+    ts = jnp.stack([tw, tx, ty, tz], axis=-1)  # [*, 4]
+    best = jnp.argmax(ts, axis=-1)
+    t_best = jnp.take_along_axis(ts, best[..., None], axis=-1)  # [*, 1]
+    q = jnp.take_along_axis(
+        cands, best[..., None, None].astype(jnp.int32).repeat(4, -1), axis=-2
+    )[..., 0, :]
+    q = q * (0.5 / jnp.sqrt(jnp.maximum(t_best, 1e-12)))
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def quat_multiply(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product of (w,x,y,z) quaternions."""
+    w1, x1, y1, z1 = jnp.moveaxis(q1, -1, 0)
+    w2, x2, y2, z2 = jnp.moveaxis(q2, -1, 0)
+    return jnp.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        axis=-1,
+    )
+
+
+def invert_quat(quat: jnp.ndarray) -> jnp.ndarray:
+    conj = quat * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=quat.dtype)
+    return conj / jnp.sum(quat**2, axis=-1, keepdims=True)
+
+
+def normalize_quat(quat: jnp.ndarray) -> jnp.ndarray:
+    return quat / jnp.linalg.norm(quat, axis=-1, keepdims=True)
+
+
+def canonicalize_quat_sign(t7: jnp.ndarray) -> jnp.ndarray:
+    """Flip quaternion sign in a tensor-7 so the real part is non-negative
+    (reference behavior at `mdgen/wrapper.py:309`)."""
+    sign = jnp.where(t7[..., 0:1] < 0, -1.0, 1.0)
+    return jnp.concatenate([t7[..., :4] * sign, t7[..., 4:]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Rigid transform pytree
+# ---------------------------------------------------------------------------
+
+
+class Rigid(NamedTuple):
+    """Batch of rigid transforms: ``rots`` [*, 3, 3], ``trans`` [*, 3]."""
+
+    rots: jnp.ndarray
+    trans: jnp.ndarray
+
+    @property
+    def batch_shape(self):
+        return self.trans.shape[:-1]
+
+    # -- constructors -------------------------------------------------------
+
+    @staticmethod
+    def identity(batch_shape, dtype=jnp.float32) -> "Rigid":
+        rots = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (*batch_shape, 3, 3))
+        trans = jnp.zeros((*batch_shape, 3), dtype=dtype)
+        return Rigid(rots, trans)
+
+    @staticmethod
+    def from_tensor_7(t7: jnp.ndarray, normalize_quats: bool = False) -> "Rigid":
+        quat, trans = t7[..., :4], t7[..., 4:]
+        if normalize_quats:
+            quat = normalize_quat(quat)
+        return Rigid(quat_to_rotmat(quat), trans)
+
+    @staticmethod
+    def from_tensor_4x4(t: jnp.ndarray) -> "Rigid":
+        return Rigid(t[..., :3, :3], t[..., :3, 3])
+
+    @staticmethod
+    def from_3_points(
+        p_neg_x_axis: jnp.ndarray,
+        origin: jnp.ndarray,
+        p_xy_plane: jnp.ndarray,
+        eps: float = 1e-8,
+    ) -> "Rigid":
+        """Gram-Schmidt frame construction (AF2 algorithm 21).
+
+        The returned rotation has columns (e0, e1, e0 x e1) where
+        e0 points from ``p_neg_x_axis`` to ``origin``.
+        """
+        e0 = origin - p_neg_x_axis
+        e1 = p_xy_plane - origin
+        e0 = e0 / jnp.sqrt(jnp.sum(e0**2, axis=-1, keepdims=True) + eps)
+        e1 = e1 - e0 * jnp.sum(e0 * e1, axis=-1, keepdims=True)
+        e1 = e1 / jnp.sqrt(jnp.sum(e1**2, axis=-1, keepdims=True) + eps)
+        e2 = jnp.cross(e0, e1)
+        rots = jnp.stack([e0, e1, e2], axis=-1)  # columns
+        return Rigid(rots, origin)
+
+    # -- serialization ------------------------------------------------------
+
+    def to_tensor_7(self) -> jnp.ndarray:
+        return jnp.concatenate([rotmat_to_quat(self.rots), self.trans], axis=-1)
+
+    def to_tensor_4x4(self) -> jnp.ndarray:
+        out = jnp.zeros((*self.batch_shape, 4, 4), dtype=self.trans.dtype)
+        out = out.at[..., :3, :3].set(self.rots)
+        out = out.at[..., :3, 3].set(self.trans)
+        out = out.at[..., 3, 3].set(1.0)
+        return out
+
+    # -- group operations ----------------------------------------------------
+
+    def compose(self, other: "Rigid") -> "Rigid":
+        """self ∘ other (apply ``other`` first in the local frame of self)."""
+        rots = jnp.einsum("...ik,...kj->...ij", self.rots, other.rots, precision=_F32)
+        trans = self.apply(other.trans)
+        return Rigid(rots, trans)
+
+    def apply(self, pts: jnp.ndarray) -> jnp.ndarray:
+        """Rotate-and-translate points [*, 3]."""
+        return (
+            jnp.einsum("...ij,...j->...i", self.rots, pts, precision=_F32)
+            + self.trans
+        )
+
+    def invert(self) -> "Rigid":
+        inv_rots = jnp.swapaxes(self.rots, -1, -2)
+        inv_trans = -jnp.einsum(
+            "...ij,...j->...i", inv_rots, self.trans, precision=_F32
+        )
+        return Rigid(inv_rots, inv_trans)
+
+    def invert_apply(self, pts: jnp.ndarray) -> jnp.ndarray:
+        return jnp.einsum(
+            "...ji,...j->...i", self.rots, pts - self.trans, precision=_F32
+        )
+
+    # -- structural helpers ---------------------------------------------------
+
+    def __getitem__(self, idx) -> "Rigid":
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        return Rigid(self.rots[idx], self.trans[idx])
+
+    def reshape(self, batch_shape) -> "Rigid":
+        return Rigid(
+            self.rots.reshape(*batch_shape, 3, 3),
+            self.trans.reshape(*batch_shape, 3),
+        )
+
+    def expand_dims(self, axis: int) -> "Rigid":
+        rot_ax = axis if axis >= 0 else axis - 2
+        trans_ax = axis if axis >= 0 else axis - 1
+        return Rigid(
+            jnp.expand_dims(self.rots, rot_ax),
+            jnp.expand_dims(self.trans, trans_ax),
+        )
+
+    @staticmethod
+    def cat(rigids, axis: int) -> "Rigid":
+        ax = axis if axis >= 0 else axis - 2
+        return Rigid(
+            jnp.concatenate([r.rots for r in rigids], axis=ax),
+            jnp.concatenate(
+                [r.trans for r in rigids], axis=axis if axis >= 0 else axis - 1
+            ),
+        )
+
+    def scale_translation(self, factor) -> "Rigid":
+        return Rigid(self.rots, self.trans * factor)
+
+
+def get_offsets(ref_frame: Rigid, rigids: Rigid) -> jnp.ndarray:
+    """Per-frame offsets relative to a reference frame, as tensor-7:
+    ``ref⁻¹ ∘ rigids`` (reference `mdgen/utils.py:7`). Shapes broadcast, so
+    ``ref_frame`` is typically [B, 1, L] against rigids [B, T, L]."""
+    return ref_frame.invert().compose(rigids).to_tensor_7()

@@ -1,0 +1,22 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh.
+
+This is the TPU answer to "test multi-chip without a cluster": all sharding /
+collective code paths compile and execute against 8 host-platform devices.
+Must run before the first ``import jax`` anywhere in the test session.
+"""
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,105 @@
+"""Rotary multi-head self-attention (flax.linen), XLA/MXU-first.
+
+One clean einsum implementation replaces the reference's 510-line fairseq
+port (reference `mdgen/model/mha.py:69`). Preserved semantics:
+
+  * separate q/k/v projections with bias; q pre-scaled by head_dim**-0.5
+  * ``add_bias_kv``: a learned extra key/value token appended at the end of
+    the sequence, always attendable (reference `mdgen/model/mha.py:265-280`)
+  * ESM-style rotary embeddings (GPT-NeoX half-rotation layout) applied to
+    q and k — including the appended bias token, matching the reference's
+    apply-after-append order
+  * key-padding mask filled with -inf before a float32 softmax
+
+Layout is batch-first (B, S, C); the reference's (S, B, C) transposes
+disappear.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import xavier, zeros_init
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def apply_rotary(x, sin, cos):
+    """x: [..., S, D]; sin/cos: [S, D] tables."""
+    return x * cos + _rotate_half(x) * sin
+
+
+def rotary_tables(seq_len: int, dim: int, dtype=jnp.float32):
+    """ESM RotaryEmbedding convention: inv_freq over even indices, tables are
+    [sin|sin] / [cos|cos] concatenations of the half-dim frequency grid."""
+    inv_freq = 1.0 / (
+        10000 ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim)
+    )
+    t = jnp.arange(seq_len, dtype=jnp.float32)
+    freqs = jnp.einsum("i,j->ij", t, inv_freq)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.sin(emb).astype(dtype), jnp.cos(emb).astype(dtype)
+
+
+class RoPEAttention(nn.Module):
+    """Self-attention over the last-but-one axis of a (B, S, C) tensor."""
+
+    embed_dim: int
+    num_heads: int
+    use_rope: bool = True
+    add_bias_kv: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+        """x: [B, S, C]; mask: [B, S] with 1 = valid. Returns [B, S, C]."""
+        B, S, C = x.shape
+        H = self.num_heads
+        hd = C // H
+        assert hd * H == C
+
+        dense = lambda name: nn.Dense(
+            C, kernel_init=xavier, bias_init=zeros_init, name=name
+        )
+        q = dense("q_proj")(x) * hd**-0.5
+        k = dense("k_proj")(x)
+        v = dense("v_proj")(x)
+
+        q = q.reshape(B, S, H, hd)
+        k = k.reshape(B, S, H, hd)
+        v = v.reshape(B, S, H, hd)
+
+        S_k = S
+        if self.add_bias_kv:
+            bias_k = self.param(
+                "bias_k", nn.initializers.xavier_normal(), (1, 1, C)
+            ).reshape(1, 1, H, hd)
+            bias_v = self.param(
+                "bias_v", nn.initializers.xavier_normal(), (1, 1, C)
+            ).reshape(1, 1, H, hd)
+            k = jnp.concatenate([k, jnp.broadcast_to(bias_k, (B, 1, H, hd))], axis=1)
+            v = jnp.concatenate([v, jnp.broadcast_to(bias_v, (B, 1, H, hd))], axis=1)
+            S_k = S + 1
+            if mask is not None:
+                mask = jnp.concatenate(
+                    [mask, jnp.ones((B, 1), mask.dtype)], axis=1
+                )
+
+        if self.use_rope:
+            sin, cos = rotary_tables(S_k, hd, x.dtype)
+            q = apply_rotary(q, sin[:S][None, :, None, :], cos[:S][None, :, None, :])
+            k = apply_rotary(k, sin[None, :, None, :], cos[None, :, None, :])
+
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+        if mask is not None:
+            neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
+            logits = jnp.where(mask[:, None, None, :] > 0, logits, neg)
+        probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, S, C)
+        return nn.Dense(
+            C, kernel_init=xavier, bias_init=zeros_init, name="out_proj"
+        )(out)

@@ -61,7 +61,11 @@ class TransportConfig:
             train_eps = 1e-3 if train_eps is None else train_eps
             sample_eps = 1e-3 if sample_eps is None else sample_eps
         else:
-            train_eps, sample_eps = 0.0, 0.0
+            # velocity & [GVP, Linear] is stable everywhere; explicit values
+            # (e.g. for SDE sampling, whose SBDM diffusion diverges at t=0)
+            # are honored.
+            train_eps = 0.0 if train_eps is None else train_eps
+            sample_eps = 0.0 if sample_eps is None else sample_eps
         return train_eps, sample_eps
 
 

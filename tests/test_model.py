@@ -1,0 +1,125 @@
+"""Shape / init / invariance tests for the latent denoiser."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdgen_tpu.config import MDGenConfig
+from mdgen_tpu.geometry import Rigid
+from mdgen_tpu.models import LatentMDGenModel
+from mdgen_tpu.tasks import prep_batch
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        num_layers=2,
+        embed_dim=64,
+        mha_heads=4,
+        ipa_heads=2,
+        ipa_head_dim=8,
+        ipa_qk=2,
+        ipa_v=2,
+        num_frames=6,
+        crop=4,
+        sim_condition=True,
+        prepend_ipa=True,
+        abs_pos_emb=True,
+        abs_time_emb=True,
+    )
+    base.update(kw)
+    return MDGenConfig(**base)
+
+
+def make_batch(rng, cfg, B=2):
+    T, L = cfg.num_frames, cfg.crop
+    q = rng.normal(size=(B, T, L, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    from mdgen_tpu.geometry.rigid import quat_to_rotmat
+
+    return {
+        "torsions": jnp.asarray(rng.normal(size=(B, T, L, 7, 2)).astype(np.float32)),
+        "torsion_mask": jnp.ones((B, L, 7), jnp.float32),
+        "trans": jnp.asarray(rng.normal(size=(B, T, L, 3)).astype(np.float32)),
+        "rots": quat_to_rotmat(jnp.asarray(q.astype(np.float32))),
+        "seqres": jnp.asarray(rng.integers(0, 20, size=(B, L)).astype(np.int32)),
+        "mask": jnp.ones((B, L), jnp.float32),
+    }
+
+
+@pytest.mark.parametrize(
+    "task_kw",
+    [
+        dict(sim_condition=True),
+        dict(sim_condition=False, tps_condition=True),
+        dict(sim_condition=False, inpainting=True),
+        dict(sim_condition=False, inpainting=True, design=True),
+    ],
+    ids=["sim", "tps", "inpaint", "design"],
+)
+def test_forward_shapes(task_kw, rng):
+    cfg = tiny_cfg(**task_kw)
+    model = LatentMDGenModel(cfg, cfg.latent_dim)
+    batch = make_batch(rng, cfg)
+    prep = prep_batch(cfg, batch)
+    B, T, L = 2, cfg.num_frames, cfg.crop
+    assert prep.latents.shape == (B, T, L, cfg.latent_dim - (20 if cfg.design else 0))
+
+    x = jnp.asarray(
+        rng.normal(size=(B, T, L, cfg.latent_dim)).astype(np.float32)
+    )
+    t = jnp.full((B,), 0.4)
+    params = model.init(jax.random.PRNGKey(0), x, t, **prep.model_kwargs)
+    out = model.apply(params, x, t, **prep.model_kwargs)
+    assert out.shape == (B, T, L, cfg.latent_dim)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_zero_init_output_is_zero_at_start(rng):
+    """adaLN-zero: with fresh params the FinalLayer output must be exactly 0
+    for non-design configs (load-bearing for DiT training stability)."""
+    cfg = tiny_cfg()
+    model = LatentMDGenModel(cfg, cfg.latent_dim)
+    batch = make_batch(rng, cfg)
+    prep = prep_batch(cfg, batch)
+    x = jnp.asarray(rng.normal(size=(2, cfg.num_frames, cfg.crop, cfg.latent_dim)).astype(np.float32))
+    t = jnp.full((2,), 0.7)
+    params = model.init(jax.random.PRNGKey(0), x, t, **prep.model_kwargs)
+    out = model.apply(params, x, t, **prep.model_kwargs)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_forward_jit_compiles_once_per_shape(rng):
+    cfg = tiny_cfg()
+    model = LatentMDGenModel(cfg, cfg.latent_dim)
+    batch = make_batch(rng, cfg)
+    prep = prep_batch(cfg, batch)
+    x = jnp.asarray(rng.normal(size=(2, cfg.num_frames, cfg.crop, cfg.latent_dim)).astype(np.float32))
+    t = jnp.full((2,), 0.4)
+    params = model.init(jax.random.PRNGKey(0), x, t, **prep.model_kwargs)
+
+    fwd = jax.jit(lambda p, xx, tt, kw: model.apply(p, xx, tt, **kw))
+    o1 = fwd(params, x, t, prep.model_kwargs)
+    o2 = fwd(params, x + 1.0, t, prep.model_kwargs)
+    assert o1.shape == o2.shape
+
+
+def test_padding_mask_invariance(rng):
+    """Padded residues must not affect outputs at valid positions."""
+    cfg = tiny_cfg(crop=6, abs_pos_emb=True)
+    model = LatentMDGenModel(cfg, cfg.latent_dim)
+    batch = make_batch(rng, cfg)
+    # mask out the last two residues
+    mask = jnp.ones((2, 6), jnp.float32).at[:, 4:].set(0.0)
+    batch["mask"] = mask
+    prep = prep_batch(cfg, batch)
+    x = jnp.asarray(rng.normal(size=(2, cfg.num_frames, 6, cfg.latent_dim)).astype(np.float32))
+    t = jnp.full((2,), 0.4)
+    params = model.init(jax.random.PRNGKey(0), x, t, **prep.model_kwargs)
+    out1 = model.apply(params, x, t, **prep.model_kwargs)
+
+    # perturb padded-region inputs only
+    x2 = x.at[:, :, 4:].add(100.0)
+    out2 = model.apply(params, x2, t, **prep.model_kwargs)
+    np.testing.assert_allclose(
+        np.asarray(out1)[:, :, :4], np.asarray(out2)[:, :, :4], atol=2e-3
+    )

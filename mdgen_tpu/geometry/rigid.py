@@ -217,9 +217,13 @@ class Rigid(NamedTuple):
     # -- structural helpers ---------------------------------------------------
 
     def __getitem__(self, idx) -> "Rigid":
+        """Index into the BATCH dims only (the trailing 3x3 / 3 axes are
+        never touched, even with Ellipsis indices)."""
         if not isinstance(idx, tuple):
             idx = (idx,)
-        return Rigid(self.rots[idx], self.trans[idx])
+        rot_idx = idx + (slice(None), slice(None))
+        trans_idx = idx + (slice(None),)
+        return Rigid(self.rots[rot_idx], self.trans[trans_idx])
 
     def reshape(self, batch_shape) -> "Rigid":
         return Rigid(

@@ -1,0 +1,8 @@
+"""Parallelism: device mesh construction and sharding rules."""
+from .mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    param_sharding,
+    replicated,
+    shard_batch,
+)

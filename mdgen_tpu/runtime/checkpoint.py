@@ -1,0 +1,57 @@
+"""Orbax checkpointing: {params, EMA, optimizer state, step} + config JSON.
+
+Replaces Lightning's ModelCheckpoint + save_hyperparameters (reference
+`mdgen/train.py:57-61`, `mdgen/wrapper.py:50,120-130`): checkpoints are fully
+self-describing, so inference restores with zero side-band flags.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+from ..config import MDGenConfig
+
+CONFIG_FILE = "config.json"
+
+
+def save_checkpoint(ckpt_dir: str, state, cfg: MDGenConfig, step: int) -> str:
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with open(os.path.join(ckpt_dir, CONFIG_FILE), "w") as fh:
+        fh.write(cfg.to_json())
+    path = os.path.join(ckpt_dir, f"step_{step}")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(state), force=True)
+    return path
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [
+        int(d.split("_", 1)[1])
+        for d in os.listdir(ckpt_dir)
+        if d.startswith("step_") and d.split("_", 1)[1].isdigit()
+    ]
+    return max(steps) if steps else None
+
+
+def load_config(ckpt_dir: str) -> MDGenConfig:
+    with open(os.path.join(ckpt_dir, CONFIG_FILE)) as fh:
+        return MDGenConfig.from_json(fh.read())
+
+
+def load_checkpoint(
+    ckpt_dir: str, state_template, step: Optional[int] = None
+) -> Tuple[object, int]:
+    """Restore a state pytree; ``state_template`` provides structure/dtypes."""
+    step = step if step is not None else latest_step(ckpt_dir)
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        restored = ckptr.restore(path, item=jax.device_get(state_template))
+    return restored, step

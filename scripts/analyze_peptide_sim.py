@@ -1,0 +1,194 @@
+"""Forward-simulation evaluation: torsion JSDs, TICA, decorrelation, MSM.
+
+Port of reference `scripts/analyze_peptide_sim.py` onto the NumPy analysis
+toolkit: compares generated trajectories (multi-MODEL PDB from
+sim_inference.py) against reference MD (atom14 .npy), producing the same
+per-peptide metric dict -> ``out.pkl``.
+
+  python scripts/analyze_peptide_sim.py --mddir data/4AA_sims_npy \
+      --pdbdir out/ --save
+"""
+import argparse
+import os
+import pickle
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--mddir", type=str, required=True,
+                    help="reference MD atom14 .npy directory")
+parser.add_argument("--pdbdir", type=str, required=True)
+parser.add_argument("--suffix", type=str, default="",
+                    help="reference npy suffix")
+parser.add_argument("--save", action="store_true")
+parser.add_argument("--save_name", type=str, default="out.pkl")
+parser.add_argument("--pdb_id", nargs="*", default=[])
+parser.add_argument("--no_msm", action="store_true")
+parser.add_argument("--no_decorr", action="store_true")
+parser.add_argument("--no_traj_msm", action="store_true")
+parser.add_argument("--truncate", type=int, default=None)
+parser.add_argument("--msm_lag", type=int, default=10)
+parser.add_argument("--tica_lag", type=int, default=1000)
+parser.add_argument("--ito", action="store_true")
+parser.add_argument("--split", type=str, default=None,
+                    help="optional split csv to resolve sequences")
+args = parser.parse_args()
+
+from mdgen_tpu.analysis import (  # noqa: E402
+    KMeans,
+    estimate_markov_model,
+    featurize_torsions,
+    jensen_shannon,
+)
+from mdgen_tpu.analysis.metrics import acovf, torsion_decorrelation_curve  # noqa: E402
+from mdgen_tpu.analysis.msm import TICA  # noqa: E402
+from mdgen_tpu.protein import load_pdb_trajectory  # noqa: E402
+
+
+def torsion_features(atom14, aatype, cossin):
+    return featurize_torsions(atom14, aatype, sidechains=True, cossin=cossin)
+
+
+def main(name):
+    out = {}
+    np.random.seed(137)
+
+    traj_atom14, aatype = load_pdb_trajectory(f"{args.pdbdir}/{name}.pdb")
+    if args.truncate:
+        traj_atom14 = traj_atom14[: args.truncate]
+    ref_atom14 = np.asarray(
+        np.lib.format.open_memmap(f"{args.mddir}/{name}{args.suffix}.npy", "r"),
+        dtype=np.float32,
+    )
+
+    # angles for histograms
+    traj_ang = torsion_features(traj_atom14, aatype, cossin=False)
+    ref_ang = torsion_features(ref_atom14, aatype, cossin=False)
+    n_feats = traj_ang.shape[1]
+    feat_names = [f"TORSION_{i}" for i in range(n_feats)]
+    out["features"] = feat_names
+
+    out["JSD"] = {}
+    for i, feat in enumerate(feat_names):
+        rp = np.histogram(ref_ang[:, i], range=(-np.pi, np.pi), bins=100)[0]
+        tp = np.histogram(traj_ang[:, i], range=(-np.pi, np.pi), bins=100)[0]
+        out["JSD"][feat] = jensen_shannon(rp, tp)
+
+    # 2D Ramachandran JSDs on the (phi, psi) pairs (features 1,2 and 3,4 in
+    # the reference ordering; here phi block then psi block — pair them)
+    for i in [1, 3]:
+        if i + 1 >= n_feats:
+            continue
+        rp = np.histogram2d(
+            ref_ang[:, i], ref_ang[:, i + 1],
+            range=((-np.pi, np.pi), (-np.pi, np.pi)), bins=50,
+        )[0]
+        tp = np.histogram2d(
+            traj_ang[:, i], traj_ang[:, i + 1],
+            range=((-np.pi, np.pi), (-np.pi, np.pi)), bins=50,
+        )[0]
+        out["JSD"][f"{feat_names[i]}|{feat_names[i+1]}"] = jensen_shannon(
+            rp.ravel(), tp.ravel()
+        )
+
+    if not args.no_decorr:
+        out["md_decorrelation"] = {}
+        out["our_decorrelation"] = {}
+        for i, feat in enumerate(feat_names):
+            out["md_decorrelation"][feat] = torsion_decorrelation_curve(
+                ref_ang[:, i], 100000
+            ).astype(np.float16)
+            out["our_decorrelation"][feat] = torsion_decorrelation_curve(
+                traj_ang[:, i], 1 if args.ito else 1000
+            ).astype(np.float16)
+
+    # TICA on cos/sin features, fitted on the reference MD
+    traj_cs = torsion_features(traj_atom14, aatype, cossin=True)
+    ref_cs = torsion_features(ref_atom14, aatype, cossin=True)
+    tica = TICA(lag=args.tica_lag).fit(ref_cs)
+    ref_tica = tica.transform(ref_cs)
+    traj_tica = tica.transform(traj_cs)
+
+    lo0 = min(ref_tica[:, 0].min(), traj_tica[:, 0].min())
+    hi0 = max(ref_tica[:, 0].max(), traj_tica[:, 0].max())
+    lo1 = min(ref_tica[:, 1].min(), traj_tica[:, 1].min())
+    hi1 = max(ref_tica[:, 1].max(), traj_tica[:, 1].max())
+
+    rp = np.histogram(ref_tica[:, 0], range=(lo0, hi0), bins=100)[0]
+    tp = np.histogram(traj_tica[:, 0], range=(lo0, hi0), bins=100)[0]
+    out["JSD"]["TICA-0"] = jensen_shannon(rp, tp)
+
+    rp = np.histogram2d(*ref_tica[:, :2].T, range=((lo0, hi0), (lo1, hi1)), bins=50)[0]
+    tp = np.histogram2d(*traj_tica[:, :2].T, range=((lo0, hi0), (lo1, hi1)), bins=50)[0]
+    out["JSD"]["TICA-0,1"] = jensen_shannon(rp.ravel(), tp.ravel())
+
+    if not args.no_decorr:
+        out["md_decorrelation"]["tica"] = acovf(
+            ref_tica[:, 0], 100000, adjusted=True, demean=False
+        ).astype(np.float16)
+        out["our_decorrelation"]["tica"] = acovf(
+            traj_tica[:, 0], 1 if args.ito else 1000, adjusted=True, demean=False
+        ).astype(np.float16)
+
+    if not args.no_msm:
+        try:
+            kmeans = KMeans(k=100).fit(ref_tica)
+            ref_kmeans = kmeans.transform(ref_tica)
+            msm = estimate_markov_model(ref_kmeans, lag=args.tica_lag, n_states=100)
+            msm.pcca(10)
+            traj_discrete = msm.metastable_assignments[kmeans.transform(traj_tica)]
+            ref_discrete = msm.metastable_assignments[ref_kmeans]
+            out["traj_metastable_probs"] = (
+                traj_discrete == np.arange(10)[:, None]
+            ).mean(1)
+            out["ref_metastable_probs"] = (
+                ref_discrete == np.arange(10)[:, None]
+            ).mean(1)
+
+            cmsm = estimate_markov_model(ref_discrete, lag=args.tica_lag, n_states=10)
+            P = np.eye(10)
+            P[np.ix_(cmsm.active_set, cmsm.active_set)] = cmsm.transition_matrix
+            out["msm_transition_matrix"] = P
+            pi = np.zeros(10)
+            pi[cmsm.active_set] = cmsm.pi
+            out["msm_pi"] = pi
+
+            if not args.no_traj_msm:
+                traj_msm = estimate_markov_model(
+                    traj_discrete, lag=args.msm_lag, n_states=10
+                )
+                P = np.eye(10)
+                P[np.ix_(traj_msm.active_set, traj_msm.active_set)] = (
+                    traj_msm.transition_matrix
+                )
+                out["traj_transition_matrix"] = P
+                pi = np.zeros(10)
+                pi[traj_msm.active_set] = traj_msm.pi
+                out["traj_pi"] = pi
+        except Exception as e:  # noqa: BLE001 (parity: reference catches all)
+            print("ERROR", e, name, flush=True)
+
+    return name, out
+
+
+if args.pdb_id:
+    pdb_ids = args.pdb_id
+else:
+    pdb_ids = [
+        f.split(".")[0]
+        for f in os.listdir(args.pdbdir)
+        if f.endswith(".pdb") and "_traj" not in f
+    ]
+print("number of trajectories", len(pdb_ids))
+
+results = dict(main(n) for n in pdb_ids)
+
+if args.save:
+    with open(os.path.join(args.pdbdir, args.save_name), "wb") as fh:
+        pickle.dump(results, fh)
+for name, out in results.items():
+    mean_jsd = np.mean([v for v in out["JSD"].values()])
+    print(f"{name}: mean JSD {mean_jsd:.4f}")

@@ -1,0 +1,88 @@
+"""Forward-simulation inference: autoregressive rollout from a starting frame.
+
+Rebuild of reference `sim_inference.py` with the entire rollout chain
+(R rollouts x ODE solve x re-tokenization) compiled as one on-device program
+(`MDGenRuntime.rollout`).
+
+  python sim_inference.py --sim_ckpt workdir/run --data_dir data/4AA_sims \
+      --split splits/4AA_test.csv --num_rollouts 10 --out_dir out/
+"""
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+import pandas as pd
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--sim_ckpt", type=str, required=True,
+                   help="checkpoint directory written by train.py")
+    p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--suffix", type=str, default="")
+    p.add_argument("--pdb_id", nargs="*", default=[])
+    p.add_argument("--num_rollouts", type=int, default=100)
+    p.add_argument("--out_dir", type=str, default=".")
+    p.add_argument("--split", type=str, default="splits/4AA_test.csv")
+    p.add_argument("--seed", type=int, default=137)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="peptides sampled per device batch")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    from mdgen_tpu.geometry import constants as rc
+    from mdgen_tpu.protein import atom14_to_pdb
+    from mdgen_tpu.runtime import MDGenRuntime, checkpoint
+
+    cfg = checkpoint.load_config(args.sim_ckpt)
+    rt = MDGenRuntime(cfg)
+
+    df = pd.read_csv(args.split, index_col="name")
+    names = [n for n in df.index if not args.pdb_id or n in args.pdb_id]
+
+    state = None
+    rng = jax.random.PRNGKey(args.seed)
+
+    for name in names:
+        seq = df.seqres[name]
+        arr = np.lib.format.open_memmap(
+            os.path.join(args.data_dir, f"{name}{args.suffix}.npy"), "r"
+        )
+        start = np.asarray(arr[0:1], dtype=np.float32)  # 1, L, 14, 3
+        seqres = rc.str_sequence_to_aatype(seq)[None]
+        mask = np.ones_like(seqres, dtype=np.float32)
+
+        if state is None:
+            example = {
+                "atom14": np.broadcast_to(
+                    start[:, None], (1, cfg.num_frames, *start.shape[1:])
+                ),
+                "seqres": seqres,
+                "mask": mask,
+            }
+            state = rt.init(jax.random.PRNGKey(0), example)
+            restored, step = checkpoint.load_checkpoint(args.sim_ckpt, state)
+            state = restored
+            print(f"restored {args.sim_ckpt} at step {step}")
+
+        params = rt.eval_params(state)
+        rng, key = jax.random.split(rng)
+        t0 = time.time()
+        traj = rt.rollout(params, start, seqres, mask, key, args.num_rollouts)
+        traj = np.asarray(jax.block_until_ready(traj))
+        dur = time.time() - t0
+        frames = traj.shape[1]
+        print(f"{name}: {frames} frames in {dur:.2f}s ({frames/dur:.1f} frames/s)")
+
+        path = os.path.join(args.out_dir, f"{name}.pdb")
+        atom14_to_pdb(traj[0], seqres[0], path)
+
+
+if __name__ == "__main__":
+    main()

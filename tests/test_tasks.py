@@ -1,0 +1,91 @@
+"""Conditioning-mask and latent-layout tests for the four task modes."""
+import jax.numpy as jnp
+import numpy as np
+
+from mdgen_tpu.config import MDGenConfig
+from mdgen_tpu.geometry.rigid import quat_to_rotmat
+from mdgen_tpu.tasks import build_cond_mask, decode_latents, prep_batch
+
+
+def make_batch(rng, B=2, T=8, L=4):
+    q = rng.normal(size=(B, T, L, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    return {
+        "torsions": jnp.asarray(rng.normal(size=(B, T, L, 7, 2)).astype(np.float32)),
+        "torsion_mask": jnp.ones((B, L, 7), jnp.float32),
+        "trans": jnp.asarray(rng.normal(size=(B, T, L, 3)).astype(np.float32)),
+        "rots": quat_to_rotmat(jnp.asarray(q.astype(np.float32))),
+        "seqres": jnp.asarray(rng.integers(0, 20, size=(B, L)).astype(np.int32)),
+        "mask": jnp.ones((B, L), jnp.float32),
+    }
+
+
+def test_cond_masks_per_task():
+    B, T, L = 2, 10, 4
+    m = np.asarray(build_cond_mask(MDGenConfig(sim_condition=True), B, T, L))
+    assert m[:, 0].all() and m[:, 1:].sum() == 0
+
+    m = np.asarray(build_cond_mask(MDGenConfig(tps_condition=True), B, T, L))
+    assert m[:, 0].all() and m[:, -1].all() and m[:, 1:-1].sum() == 0
+
+    m = np.asarray(build_cond_mask(MDGenConfig(cond_interval=5), B, T, L))
+    assert m[:, 0].all() and m[:, 5].all() and m.sum() == 2 * 2 * L
+
+    m = np.asarray(build_cond_mask(MDGenConfig(inpainting=True), B, T, L))
+    assert m[:, :, 0].all() and m[:, :, 3].all() and m[:, :, 1:3].sum() == 0
+
+
+def test_latent_dim_law():
+    assert MDGenConfig(sim_condition=True).latent_dim == 21
+    assert MDGenConfig(tps_condition=True).latent_dim == 28
+    assert MDGenConfig(inpainting=True, design=True).latent_dim == 48
+    assert MDGenConfig(no_frames=True).latent_dim == 111
+
+
+def test_prep_batch_sim_layout(rng):
+    cfg = MDGenConfig(sim_condition=True, num_frames=8, crop=4)
+    batch = make_batch(rng)
+    prep = prep_batch(cfg, batch)
+    B, T, L = 2, 8, 4
+    assert prep.latents.shape == (B, T, L, 21)
+    # offset at frame 0 is the identity (w=1, rest 0)
+    off0 = np.asarray(prep.latents)[:, 0, :, :7]
+    np.testing.assert_allclose(off0[..., 0], 1.0, atol=1e-4)
+    np.testing.assert_allclose(off0[..., 1:], 0.0, atol=1e-4)
+    # quaternions canonicalized: w >= 0 everywhere
+    assert (np.asarray(prep.latents)[..., 0] >= -1e-6).all()
+    # torsion channels match input
+    np.testing.assert_allclose(
+        np.asarray(prep.latents)[..., 7:],
+        np.asarray(batch["torsions"]).reshape(B, T, L, 14),
+    )
+    # conditioned tokens carry data, others zero
+    xc = np.asarray(prep.model_kwargs["x_cond"])
+    assert np.abs(xc[:, 1:]).sum() == 0
+    np.testing.assert_allclose(xc[:, 0], np.asarray(prep.latents)[:, 0])
+
+
+def test_prep_batch_tps_reverse_offsets(rng):
+    cfg = MDGenConfig(tps_condition=True, num_frames=8, crop=4)
+    prep = prep_batch(cfg, make_batch(rng))
+    lat = np.asarray(prep.latents)
+    assert lat.shape[-1] == 28
+    # forward offsets identity at frame 0; reverse offsets identity at last
+    np.testing.assert_allclose(lat[:, 0, :, 0], 1.0, atol=1e-4)
+    np.testing.assert_allclose(lat[:, -1, :, 7], 1.0, atol=1e-4)
+    np.testing.assert_allclose(lat[:, -1, :, 8:14], 0.0, atol=1e-4)
+
+
+def test_decode_latents_roundtrips_prep(rng):
+    """Encoding frames+torsions into latents and decoding them back must
+    reproduce the original backbone (the autoregressive rollout contract)."""
+    cfg = MDGenConfig(sim_condition=True, num_frames=8, crop=4)
+    batch = make_batch(rng)
+    prep = prep_batch(cfg, batch)
+    atom14, aa = decode_latents(cfg, prep.latents, prep.rigids, batch["seqres"])
+    assert atom14.shape == (2, 8, 4, 14, 3)
+    # N/CA/C positions equal the frame translations' rigid placement: compare
+    # CA (atom14 slot 1) against original frame translations
+    np.testing.assert_allclose(
+        np.asarray(atom14)[..., 1, :], np.asarray(batch["trans"]), atol=2e-3
+    )

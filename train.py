@@ -1,0 +1,152 @@
+"""Training entry point (reference-flag-compatible).
+
+Rebuild of the reference trainer (reference `mdgen/train.py:1-77`) without
+Lightning: explicit epoch loop, jitted train/val steps on a (dp, tp) device
+mesh, EMA-swapped validation, designability probe, Orbax checkpoints.
+
+Example (4AA forward simulation):
+  python train.py --sim_condition --train_split splits/4AA_train.csv \
+      --val_split splits/4AA_val.csv --data_dir data/4AA_sims --num_frames 1000 \
+      --prepend_ipa --abs_pos_emb --abs_time_emb --crop 4 --epochs 10000 \
+      --run_name my_run
+"""
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from mdgen_tpu.config import add_model_args, config_from_args
+from mdgen_tpu.data import Loader, MDGenDataset
+from mdgen_tpu.parallel import make_mesh, shard_batch
+from mdgen_tpu.protein import atom14_to_pdb
+from mdgen_tpu.runtime import MDGenRuntime, MetricLogger, checkpoint
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt", type=str, default=None)
+    parser.add_argument("--validate", action="store_true")
+    parser.add_argument("--num_workers", type=int, default=4)  # unused (device tokenization)
+    parser.add_argument("--train_split", type=str, required=True)
+    parser.add_argument("--val_split", type=str, required=True)
+    parser.add_argument("--data_dir", type=str, required=True)
+    parser.add_argument("--run_name", type=str, default="default")
+    parser.add_argument("--print_freq", type=int, default=100)
+    parser.add_argument("--ckpt_freq", type=int, default=1)
+    parser.add_argument("--wandb", action="store_true")
+    parser.add_argument("--train_batches", type=int, default=None)
+    parser.add_argument("--val_batches", type=int, default=None)
+    parser.add_argument("--val_repeat", type=int, default=1)
+    parser.add_argument("--val_epoch_freq", type=int, default=1)
+    parser.add_argument("--no_validate", action="store_true")
+    parser.add_argument("--designability_freq", type=int, default=1)
+    parser.add_argument("--inference_batches", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=137)
+    add_model_args(parser)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    os.environ["MODEL_DIR"] = model_dir = os.path.join("workdir", args.run_name)
+    os.makedirs(model_dir, exist_ok=True)
+    cfg = config_from_args(args)
+
+    logger = MetricLogger(model_dir=model_dir, use_wandb=args.wandb)
+    log = logger.logger
+    log.info(f"devices: {jax.devices()}")
+    log.info(f"config: {cfg.to_json()}")
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(cfg.dp_size, cfg.tp_size) if n_dev > 1 else None
+    rt = MDGenRuntime(cfg, mesh=mesh)
+
+    trainset = MDGenDataset(cfg, args.train_split, args.data_dir)
+    if cfg.overfit:
+        valset = trainset
+    else:
+        valset = MDGenDataset(cfg, args.val_split, args.data_dir, repeat=args.val_repeat)
+
+    train_loader = Loader(
+        trainset, cfg.batch_size, shuffle=True, seed=args.seed,
+        max_batches=args.train_batches,
+    )
+    val_loader = Loader(
+        valset, cfg.batch_size, shuffle=False, seed=args.seed,
+        max_batches=args.val_batches,
+    )
+
+    rng = jax.random.PRNGKey(args.seed)
+    example = next(iter(train_loader))
+    example.pop("name", None)
+    state = rt.init(rng, shard_batch(mesh, example))
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    log.info(f"model parameters: {n_params:,}")
+
+    start_epoch = 0
+    if args.ckpt:
+        state, step = checkpoint.load_checkpoint(args.ckpt, state)
+        log.info(f"restored checkpoint at step {step}")
+
+    def run_validation(epoch):
+        eval_params = rt.eval_params(state)
+        for batch_idx, batch in enumerate(val_loader):
+            names = batch.pop("name")
+            batch = shard_batch(mesh, batch)
+            key = jax.random.fold_in(rng, 10_000_000 + epoch * 10000 + batch_idx)
+            metrics = rt.val_step(eval_params, batch, key)
+            logger.log_dict({k: np.asarray(v) for k, v in metrics.items()}, "val")
+
+            do_design = (
+                batch_idx < args.inference_batches
+                and ((epoch + 1) % args.designability_freq == 0 or args.validate)
+            )
+            if do_design:
+                atom14, aa_out = rt.inference(eval_params, batch, key)
+                seq = np.asarray(batch["seqres"])
+                rec = np.asarray(aa_out) == seq[:, None, :]
+                logger.log("design_aa_recovery", float(rec[:, :, 1:-1].mean()), "val")
+                logger.log(
+                    "cond_aa_recovery",
+                    float(np.concatenate([rec[:, :, :1], rec[:, :, -1:]], 2).mean()),
+                    "val",
+                )
+                path = os.path.join(model_dir, f"epoch{epoch}_{names[0]}.pdb")
+                atom14_to_pdb(np.asarray(atom14[0]), seq[0], path)
+        logger.flush("val", epoch=epoch, step=int(state.step))
+
+    if args.validate:
+        run_validation(0)
+        return
+
+    step_times = []
+    for epoch in range(start_epoch, cfg.epochs):
+        for batch in train_loader:
+            batch.pop("name", None)
+            batch = shard_batch(mesh, batch)
+            key = jax.random.fold_in(rng, int(state.step))
+            t0 = time.time()
+            state, metrics = rt.train_step(state, batch, key)
+            if int(state.step) % args.print_freq == 0:
+                jax.block_until_ready(metrics["loss"])
+                step_times.append(time.time() - t0)
+                logger.log_dict({k: np.asarray(v) for k, v in metrics.items()}, "train")
+                logger.log("dur", step_times[-1], "train")
+                logger.flush("iter", epoch=epoch, step=int(state.step))
+            else:
+                logger.log_dict({k: np.asarray(v) for k, v in metrics.items()}, "train")
+
+        logger.flush("train", epoch=epoch, step=int(state.step))
+        if not args.no_validate and (epoch + 1) % args.val_epoch_freq == 0:
+            run_validation(epoch)
+        if (epoch + 1) % args.ckpt_freq == 0:
+            path = checkpoint.save_checkpoint(model_dir, state, cfg, int(state.step))
+            log.info(f"saved checkpoint: {path}")
+
+    checkpoint.save_checkpoint(model_dir, state, cfg, int(state.step))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+"""Trajectory upsampling inference: inpaint between kept frames.
+
+Rebuild of reference `upsampling_inference.py`: a low-framerate trajectory is
+packed into windows with the kept frames every ``cond_interval`` steps (zeros
++ identity rotations in between), and the model fills the gaps.
+"""
+import argparse
+import os
+
+import numpy as np
+import pandas as pd
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--ckpt", type=str, required=True)
+    p.add_argument("--data_dir", type=str, required=True)
+    p.add_argument("--suffix", type=str, default="_i100")
+    p.add_argument("--pdb_id", nargs="*", default=[])
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--out_dir", type=str, default=".")
+    p.add_argument("--split", type=str, default="splits/4AA_implicit_test.csv")
+    p.add_argument("--seed", type=int, default=137)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mdgen_tpu.geometry import constants as rc
+    from mdgen_tpu.protein import atom14_to_pdb
+    from mdgen_tpu.runtime import MDGenRuntime, checkpoint, tokenize_atom14
+
+    cfg = checkpoint.load_config(args.ckpt)
+    assert cfg.cond_interval, "checkpoint was not trained with --cond_interval"
+    rt = MDGenRuntime(cfg)
+    tokenize = jax.jit(tokenize_atom14)
+    jkey = jax.random.PRNGKey(args.seed)
+    state = None
+
+    T, ci = cfg.num_frames, cfg.cond_interval
+    kept_per_window = T // ci
+
+    df = pd.read_csv(args.split, index_col="name")
+    for name in df.index:
+        if args.pdb_id and name not in args.pdb_id:
+            continue
+        seq = df.seqres[name]
+        aatype = rc.str_sequence_to_aatype(seq)
+        L = len(aatype)
+        arr = np.asarray(
+            np.lib.format.open_memmap(
+                os.path.join(args.data_dir, f"{name}{args.suffix}.npy"), "r"
+            ),
+            dtype=np.float32,
+        )
+        # tokenize the kept (low-framerate) frames once, on device
+        tok = tokenize(
+            {
+                "atom14": jnp.asarray(arr[None]),
+                "seqres": jnp.asarray(aatype[None]),
+                "mask": jnp.ones((1, L), jnp.float32),
+            }
+        )
+        tok = {k: np.asarray(v)[0] for k, v in tok.items()}
+
+        n_windows = len(arr) // kept_per_window
+        window_batches = []
+        for w in range(n_windows):
+            sel = slice(w * kept_per_window, (w + 1) * kept_per_window)
+            torsions = np.zeros((T, L, 7, 2), np.float32)
+            trans = np.zeros((T, L, 3), np.float32)
+            rots = np.broadcast_to(np.eye(3, dtype=np.float32), (T, L, 3, 3)).copy()
+            torsions[::ci] = tok["torsions"][sel]
+            trans[::ci] = tok["trans"][sel]
+            rots[::ci] = tok["rots"][sel]
+            window_batches.append(
+                {
+                    "torsions": torsions,
+                    "torsion_mask": tok["torsion_mask"],
+                    "trans": trans,
+                    "rots": rots,
+                    "seqres": aatype,
+                    "mask": np.ones(L, np.float32),
+                }
+            )
+
+        all_atom14 = []
+        B = args.batch_size
+        for i in range(0, len(window_batches), B):
+            group = window_batches[i : i + B]
+            if len(group) < B:
+                break
+            batch = {k: np.stack([g[k] for g in group]) for k in group[0]}
+            if state is None:
+                state = rt.init(jax.random.PRNGKey(0), batch)
+                state, step = checkpoint.load_checkpoint(args.ckpt, state)
+                print(f"restored {args.ckpt} at step {step}")
+            jkey, sub = jax.random.split(jkey)
+            atom14, _ = rt.inference(rt.eval_params(state), batch, sub)
+            all_atom14.append(np.asarray(atom14).reshape(-1, L, 14, 3))
+
+        traj = np.concatenate(all_atom14, axis=0)
+        path = os.path.join(args.out_dir, f"{name}.pdb")
+        atom14_to_pdb(traj, aatype, path)
+        print(f"{name}: wrote {len(traj)} frames to {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -65,6 +65,8 @@ class MDGenConfig:
     abs_time_emb: bool = False
     time_multiplier: float = 100.0
     grad_checkpointing: bool = False
+    # attention inner loop for the frame axis: auto | dense | chunked | flash
+    attn_impl: str = "auto"
 
     # -- transport -----------------------------------------------------------
     path_type: str = "GVP"  # Linear | GVP | VP

@@ -38,6 +38,13 @@ _BB_FLIP = jnp.asarray(np.diag([-1.0, 1.0, -1.0]).astype(np.float32))
 _TORSION_SIGN = jnp.asarray([1.0, 1.0, -1.0, 1.0, 1.0, 1.0, 1.0])
 
 
+def _align_aatype(aatype, pos, n_pos_dims=2):
+    """Broadcast aatype up to pos.shape[:-n_pos_dims] (so callers may pass
+    [L] against [T, L, A, 3], matching the reference's flexibility)."""
+    target = pos.shape[: pos.ndim - n_pos_dims]
+    return jnp.broadcast_to(jnp.asarray(aatype), target)
+
+
 def _gather_atoms(pos, idx):
     """Gather atoms: pos [..., A, 3], idx [..., M] -> [..., M, 3]."""
     return jnp.take_along_axis(
@@ -60,9 +67,10 @@ def atom14_to_atom37(atom14, aatype, atom14_mask=None):
 
     ``aatype``: integer [..., L] (broadcastable against the residue axis).
     """
-    aatype = jnp.asarray(aatype)
+    atom14 = jnp.asarray(atom14)
+    aatype = _align_aatype(aatype, atom14)
     idx = _A37_TO_A14[aatype]  # [..., L, 37]
-    atom37 = _gather_atoms(jnp.asarray(atom14), idx)
+    atom37 = _gather_atoms(atom14, idx)
     atom37 = atom37 * _A37_MASK[aatype][..., None]
     if atom14_mask is not None:
         mask37 = _gather_scalars(jnp.asarray(atom14_mask), idx) * _A37_MASK[aatype]
@@ -72,9 +80,10 @@ def atom14_to_atom37(atom14, aatype, atom14_mask=None):
 
 def atom37_to_atom14(atom37, aatype, atom37_mask=None):
     """[..., L, 37, 3] -> [..., L, 14, 3] relayout by residue type."""
-    aatype = jnp.asarray(aatype)
+    atom37 = jnp.asarray(atom37)
+    aatype = _align_aatype(aatype, atom37)
     idx = _A14_TO_A37[aatype]  # [..., L, 14]
-    atom14 = _gather_atoms(jnp.asarray(atom37), idx)
+    atom14 = _gather_atoms(atom37, idx)
     atom14 = atom14 * _A14_MASK[aatype][..., None]
     if atom37_mask is not None:
         mask14 = _gather_scalars(jnp.asarray(atom37_mask), idx) * _A14_MASK[aatype]
@@ -127,7 +136,7 @@ def atom37_to_torsions(all_atom_positions, aatype, all_atom_mask=None):
       (torsions [..., L, 7, 2], torsion_mask [..., L, 7])
     """
     pos = jnp.asarray(all_atom_positions)
-    aatype = jnp.asarray(aatype)
+    aatype = _align_aatype(aatype, pos)
     if all_atom_mask is None:
         mask = _A37_MASK[aatype]
     else:

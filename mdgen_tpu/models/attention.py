@@ -47,12 +47,21 @@ def rotary_tables(seq_len: int, dim: int, dtype=jnp.float32):
 
 
 class RoPEAttention(nn.Module):
-    """Self-attention over the last-but-one axis of a (B, S, C) tensor."""
+    """Self-attention over the last-but-one axis of a (B, S, C) tensor.
+
+    ``impl`` selects the attention inner loop:
+      * "dense"   — einsum logits (best for short sequences, differentiable)
+      * "chunked" — blockwise online-softmax in pure JAX (O(S) memory,
+                    differentiable; used for long frame axes in training)
+      * "flash"   — Pallas TPU kernel (forward-only; sampling path)
+      * "auto"    — dense when S <= 512 else chunked
+    """
 
     embed_dim: int
     num_heads: int
     use_rope: bool = True
     add_bias_kv: bool = True
+    impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
@@ -94,12 +103,35 @@ class RoPEAttention(nn.Module):
             q = apply_rotary(q, sin[:S][None, :, None, :], cos[:S][None, :, None, :])
             k = apply_rotary(k, sin[None, :, None, :], cos[None, :, None, :])
 
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
-        if mask is not None:
-            neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
-            logits = jnp.where(mask[:, None, None, :] > 0, logits, neg)
-        probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, S, C)
+        impl = self.impl
+        if impl == "auto":
+            impl = "dense" if S_k <= 512 else "chunked"
+        elif impl == "flash" and S_k <= 512:
+            impl = "dense"  # dense wins below the logit-memory crossover
+
+        if impl == "dense":
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+            if mask is not None:
+                neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
+                logits = jnp.where(mask[:, None, None, :] > 0, logits, neg)
+            probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, S, C)
+        else:
+            from ..ops import chunked_attention, flash_attention
+
+            fn = flash_attention if impl == "flash" else chunked_attention
+            # fold heads into the batch axis: [B*H, S, hd]
+            qf = q.transpose(0, 2, 1, 3).reshape(B * H, S, hd)
+            kf = k.transpose(0, 2, 1, 3).reshape(B * H, S_k, hd)
+            vf = v.transpose(0, 2, 1, 3).reshape(B * H, S_k, hd)
+            if mask is not None:
+                bias = jnp.where(mask > 0, 0.0, jnp.finfo(jnp.float32).min)
+            else:
+                bias = jnp.zeros((B, S_k), jnp.float32)
+            bias = jnp.repeat(bias, H, axis=0)
+            out = fn(qf, kf, vf, bias)
+            out = out.reshape(B, H, S, hd).transpose(0, 2, 1, 3).reshape(B, S, C)
+
         return nn.Dense(
             C, kernel_init=xavier, bias_init=zeros_init, name="out_proj"
         )(out)

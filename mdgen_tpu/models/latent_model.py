@@ -148,7 +148,7 @@ class LatentMDGenLayer(nn.Module):
         else:
             mask_t = jnp.swapaxes(mask, 1, 2).reshape(B * L, T)
             h_t = RoPEAttention(C, cfg.mha_heads, use_rope=not cfg.no_rope,
-                                name="mha_t")(h_t, mask_t)
+                                impl=cfg.attn_impl, name="mha_t")(h_t, mask_t)
         h = jnp.swapaxes(h_t.reshape(B, L, T, C), 1, 2)
         x = residual + g_t[:, None] * h
 

@@ -1,0 +1,2 @@
+"""TPU kernels and kernel-adjacent ops (Pallas + blockwise-JAX fallbacks)."""
+from .flash_attention import flash_attention, chunked_attention  # noqa: F401

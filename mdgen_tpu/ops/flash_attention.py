@@ -1,0 +1,183 @@
+"""Memory-efficient attention for the factorized trajectory axes.
+
+The frame-axis attention runs at (B*L, T, H, hd) with T up to 1000+: the
+naive einsum materializes a [B*L, H, T, T] float32 logit tensor (gigabytes at
+the 4AA training shape). Two O(T) alternatives:
+
+  * :func:`flash_attention` — a Pallas TPU kernel with online softmax
+    (Q blocks resident in VMEM, K/V streamed in blocks). Forward-only by
+    design; the sampling path (the headline frames/sec metric) is pure
+    forward.
+  * :func:`chunked_attention` — blockwise pure-JAX (lax.scan over key
+    blocks) with the same math; differentiable, used for training when the
+    logit tensor would be too large, and as the flash fallback on CPU.
+
+Both take an additive key bias (mask encoded as 0 / -inf), matching the
+softmax-in-f32 semantics of `models.attention.RoPEAttention`.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (forward)
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int):
+    """One (batch*head, q_block) program: stream K/V blocks with online
+    softmax. Ref block shapes: q/o [1, Tq, d], k/v [1, Tk, d], bias [1, Tk]."""
+    q = q_ref[0, :, :].astype(jnp.float32)
+    Tq, d = q.shape
+    Tk = k_ref.shape[1]
+
+    m = jnp.full((Tq, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((Tq, 1), jnp.float32)
+    acc = jnp.zeros((Tq, d), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        b = bias_ref[0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b[None, :]
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        scale = jnp.exp(m - m_new)
+        l_new = l * scale + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * scale + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, Tk // block_k, body, (m, l, acc))
+    o_ref[0, :, :] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_to(x, n, axis, value=0.0):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jnp.ndarray:
+    """Dispatcher: Pallas kernel on TPU, chunked-JAX elsewhere (Pallas CPU
+    support is interpret-only). Forward-only."""
+    if jax.default_backend() != "tpu":
+        return chunked_attention(q, k, v, bias, block_k=block_k)
+    return _flash_attention_tpu(q, k, v, bias, block_q=block_q, block_k=block_k)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
+def _flash_attention_tpu(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jnp.ndarray:
+    """q: [N, Tq, d] (pre-scaled), k/v: [N, Tk, d], bias: [N, Tk] additive
+    (0 or -inf). Returns [N, Tq, d]. N is typically batch*heads."""
+    N, Tq, d = q.shape
+    Tk = k.shape[1]
+    bq = min(block_q, max(Tq, 8))
+    bk = min(block_k, max(Tk, 8))
+    Tq_p = -(-Tq // bq) * bq
+    Tk_p = -(-Tk // bk) * bk
+
+    qp = _pad_to(q, Tq_p, 1)
+    kp = _pad_to(k, Tk_p, 1)
+    vp = _pad_to(v, Tk_p, 1)
+    bp = _pad_to(bias, Tk_p, 1, value=_NEG_INF)
+
+    grid = (N, Tq_p // bq)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=bk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda n, i: (n, i, 0)),
+            pl.BlockSpec((1, Tk_p, d), lambda n, i: (n, 0, 0)),
+            pl.BlockSpec((1, Tk_p, d), lambda n, i: (n, 0, 0)),
+            pl.BlockSpec((1, Tk_p), lambda n, i: (n, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda n, i: (n, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((N, Tq_p, d), q.dtype),
+    )(qp, kp, vp, bp)
+    return out[:, :Tq]
+
+
+# ---------------------------------------------------------------------------
+# Blockwise pure-JAX attention (differentiable fallback)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("block_k",))
+def chunked_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: jnp.ndarray,
+    block_k: int = 256,
+) -> jnp.ndarray:
+    """Same contract as :func:`flash_attention`, lax.scan over key blocks
+    with online softmax. O(Tq * block_k) live memory; differentiable."""
+    N, Tq, d = q.shape
+    Tk = k.shape[1]
+    bk = min(block_k, Tk)
+    Tk_p = -(-Tk // bk) * bk
+    kp = _pad_to(k, Tk_p, 1)
+    vp = _pad_to(v, Tk_p, 1)
+    bp = _pad_to(bias, Tk_p, 1, value=_NEG_INF)
+
+    kb = kp.reshape(N, Tk_p // bk, bk, d).swapaxes(0, 1)
+    vb = vp.reshape(N, Tk_p // bk, bk, d).swapaxes(0, 1)
+    bb = bp.reshape(N, Tk_p // bk, bk).swapaxes(0, 1)
+
+    qf = q.astype(jnp.float32)
+
+    def body(carry, blk):
+        m, l, acc = carry
+        kblk, vblk, bblk = blk
+        s = jnp.einsum(
+            "nqd,nkd->nqk", qf, kblk.astype(jnp.float32)
+        ) + bblk[:, None, :].astype(jnp.float32)
+        m_new = jnp.maximum(m, s.max(-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        scale = jnp.exp(m - m_new)
+        l_new = l * scale + p.sum(-1, keepdims=True)
+        acc_new = acc * scale + jnp.einsum(
+            "nqk,nkd->nqd", p, vblk.astype(jnp.float32)
+        )
+        return (m_new, l_new, acc_new), None
+
+    init = (
+        jnp.full((N, Tq, 1), _NEG_INF, jnp.float32),
+        jnp.zeros((N, Tq, 1), jnp.float32),
+        jnp.zeros((N, Tq, d), jnp.float32),
+    )
+    (m, l, acc), _ = jax.lax.scan(body, init, (kb, vb, bb))
+    return (acc / jnp.maximum(l, 1e-30)).astype(q.dtype)

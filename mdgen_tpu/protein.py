@@ -183,10 +183,39 @@ def load_pdb_trajectory(path: str):
 
 
 def atom14_to_pdb(atom14: np.ndarray, aatype: np.ndarray, path: str):
-    """[T, L, 14, 3] trajectory -> multi-MODEL PDB file."""
-    prots = []
-    for pos in atom14:
-        pos37 = np.asarray(atom14_to_atom37(pos, aatype))
-        prots.append(create_full_prot(pos37, aatype=aatype))
+    """[T, L, 14, 3] trajectory -> multi-MODEL PDB file.
+
+    Uses the native C++ serializer (`native/pdb_writer.cpp`) when available —
+    long trajectories are ~3M ATOM records and Python formatting dominates
+    inference wall-clock otherwise — with a pure-Python fallback.
+    """
+    from . import native
+
+    aatype = np.asarray(aatype)
+    atom37 = np.asarray(atom14_to_atom37(np.asarray(atom14), aatype))
+    if native.available():
+        L = len(aatype)
+        mask = rc.RESTYPE_ATOM37_MASK[aatype]
+        # per-atom existence refined by nonzero coordinates (padding residues)
+        mask = mask * (np.abs(atom37).sum(-1) > 1e-7).any(0)
+        names4 = b"".join(
+            (f" {n:<3}" if len(n) < 4 else n).encode() for n in rc.atom_types
+        )
+        elems = bytes(ord(_atom_element(n)) for n in rc.atom_types)
+        res3 = b"".join(
+            (
+                rc.restype_1to3[rc.restypes[int(a)]] if int(a) < 20 else "UNK"
+            ).encode()
+            for a in aatype
+        )
+        text = native.write_pdb_models(
+            atom37, mask, names4, elems, res3, np.arange(L, dtype=np.int32)
+        )
+        if text is not None:
+            with open(path, "w") as fh:
+                fh.write(text)
+            return
+
+    prots = [create_full_prot(pos37, aatype=aatype) for pos37 in atom37]
     with open(path, "w") as fh:
         fh.write(prots_to_pdb(prots))

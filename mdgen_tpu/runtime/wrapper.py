@@ -21,6 +21,7 @@ from ..geometry import (
     Rigid,
     atom14_to_atom37,
     atom14_to_frames,
+    atom37_to_atom14,
     atom37_to_torsions,
     frames_torsions_to_atom14,
 )
@@ -80,6 +81,21 @@ def tokenize_atom14(batch: dict) -> dict:
     }
 
 
+def tokenize_no_frames(batch: dict) -> dict:
+    """Raw atom14 -> atom37 batch for the no_frames ablation (reference
+    `mdgen/dataset.py:58-65` contract: mask is the per-residue-type atom37
+    mask)."""
+    from ..geometry import constants as rc
+
+    atom14 = batch["atom14"].astype(jnp.float32)
+    seqres = batch["seqres"]
+    B, T, L = atom14.shape[:3]
+    aatype_btl = jnp.broadcast_to(seqres[:, None], (B, T, L))
+    atom37 = atom14_to_atom37(atom14, aatype_btl)
+    mask37 = jnp.asarray(rc.RESTYPE_ATOM37_MASK)[seqres]  # [B, L, 37]
+    return {"atom37": atom37, "seqres": seqres, "mask": mask37}
+
+
 class TrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -91,6 +107,14 @@ class MDGenRuntime:
     def __init__(self, cfg: MDGenConfig, mesh=None):
         self.cfg = cfg
         self.model = LatentMDGenModel(cfg, cfg.latent_dim)
+        # Inference twin: same parameters, Pallas flash attention on the
+        # frame axis (forward-only kernel; sampling never differentiates).
+        inf_cfg = (
+            cfg.replace(attn_impl="flash")
+            if cfg.attn_impl == "auto" and jax.default_backend() == "tpu"
+            else cfg
+        )
+        self.model_inf = LatentMDGenModel(inf_cfg, cfg.latent_dim)
         self.transport = Transport(transport_config(cfg))
         self.sampler = Sampler(self.transport)
         self.mesh = mesh
@@ -118,7 +142,13 @@ class MDGenRuntime:
     def init(self, rng: jax.Array, example_batch: dict) -> TrainState:
         """Initialize parameters (optionally sharded over the mesh)."""
         cfg = self.cfg
-        tok = tokenize_atom14(example_batch) if "atom14" in example_batch else example_batch
+        tok = example_batch
+        if "atom14" in example_batch:
+            tok = (
+                tokenize_no_frames(example_batch)
+                if cfg.no_frames
+                else tokenize_atom14(example_batch)
+            )
         prep = prep_batch(cfg, tok)
         B, T, L = prep.model_kwargs["mask"].shape
         x = jnp.zeros((B, T, L, cfg.latent_dim), jnp.float32)
@@ -141,7 +171,13 @@ class MDGenRuntime:
 
     def _loss_fn(self, params, rng, batch):
         cfg = self.cfg
-        tok = tokenize_atom14(batch) if "atom14" in batch else batch
+        tok = batch
+        if "atom14" in batch:
+            tok = (
+                tokenize_no_frames(batch)
+                if cfg.no_frames
+                else tokenize_atom14(batch)
+            )
         prep = prep_batch(cfg, tok)
 
         def model_fn(x, t, **kw):
@@ -203,13 +239,20 @@ class MDGenRuntime:
         """Full task inference: noise -> ODE sample -> atom14 + sequence
         (reference `mdgen/wrapper.py:405-484`)."""
         cfg = self.cfg
-        tok = tokenize_atom14(batch) if "atom14" in batch else batch
+        tok = batch
+        if "atom14" in batch:
+            tok = (
+                tokenize_no_frames(batch)
+                if cfg.no_frames
+                else tokenize_atom14(batch)
+            )
         prep = prep_batch(cfg, tok)
         B, T, L = prep.model_kwargs["mask"].shape
 
         def model_fn(x, t, **kw):
-            return self.model.apply(
-                {"params": params}, x, t, method=self.model.forward_inference, **kw
+            return self.model_inf.apply(
+                {"params": params}, x, t,
+                method=self.model_inf.forward_inference, **kw,
             )
 
         if cfg.dynamic_mpnn or cfg.mpnn:
@@ -239,6 +282,13 @@ class MDGenRuntime:
             num_steps=cfg.inference_steps,
         )
         samples = sample_fn(zs, **prep.model_kwargs)
+        if cfg.no_frames:
+            # samples ARE flattened atom37 coordinates (reference
+            # `mdgen/wrapper.py:449-454`)
+            atom37 = samples.reshape(B, T, L, 37, 3)
+            aatype = jnp.broadcast_to(tok["seqres"][:, None], (B, T, L))
+            atom14 = atom37_to_atom14(atom37, aatype)
+            return atom14, aatype
         return decode_latents(cfg, samples, prep.rigids, tok["seqres"])
 
     def _rollout_impl(self, params, start_atom14, seqres, mask, rng,

@@ -6,7 +6,11 @@ Must run before the first ``import jax`` anywhere in the test session.
 """
 import os
 
+# NOTE: on this image the axon TPU plugin ignores JAX_PLATFORMS, but honors
+# JAX_PLATFORM_NAME — set both, before any jax import. Two processes sharing
+# the single TPU tunnel deadlock, so tests must never touch the TPU.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -44,6 +44,9 @@ def parse_args():
     parser.add_argument("--designability_freq", type=int, default=1)
     parser.add_argument("--inference_batches", type=int, default=0)
     parser.add_argument("--seed", type=int, default=137)
+    parser.add_argument("--profile_steps", type=int, default=0,
+                        help="capture a jax.profiler trace of N steps "
+                             "(starting at step 10) into MODEL_DIR/trace")
     add_model_args(parser)
     return parser.parse_args()
 
@@ -128,7 +131,14 @@ def main():
             batch = shard_batch(mesh, batch)
             key = jax.random.fold_in(rng, int(state.step))
             t0 = time.time()
+            step_now = int(state.step)
+            if args.profile_steps and step_now == 10:
+                jax.profiler.start_trace(os.path.join(model_dir, "trace"))
             state, metrics = rt.train_step(state, batch, key)
+            if args.profile_steps and step_now == 10 + args.profile_steps:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                log.info(f"profiler trace written to {model_dir}/trace")
             if int(state.step) % args.print_freq == 0:
                 jax.block_until_ready(metrics["loss"])
                 step_times.append(time.time() - t0)

@@ -6,9 +6,11 @@ Must run before the first ``import jax`` anywhere in the test session.
 """
 import os
 
-# NOTE: on this image the axon TPU plugin ignores JAX_PLATFORMS, but honors
-# JAX_PLATFORM_NAME — set both, before any jax import. Two processes sharing
-# the single TPU tunnel deadlock, so tests must never touch the TPU.
+# NOTE: the shell profile sets JAX_PLATFORMS=axon (the real TPU tunnel) and
+# the jaxtyping pytest plugin imports jax BEFORE this conftest runs, binding
+# the platform from env at import. Two processes sharing the single TPU
+# tunnel deadlock, so tests must never touch the TPU: override both env vars
+# AND the live jax config (config.update works any time before backend init).
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
@@ -16,6 +18,10 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

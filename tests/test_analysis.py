@@ -34,10 +34,10 @@ def test_acovf_matches_definition(rng):
 def test_tica_recovers_slow_direction(rng):
     """Two-dim signal: slow OU process in one direction, fast noise in the
     other — TICA-0 must align with the slow direction."""
+    from scipy.signal import lfilter
+
     T = 20000
-    slow = np.zeros(T)
-    for t in range(1, T):
-        slow[t] = 0.999 * slow[t - 1] + 0.05 * rng.normal()
+    slow = lfilter([0.05], [1.0, -0.999], rng.normal(size=T))
     fast = rng.normal(size=T)
     # mix into 2D
     X = np.stack([slow + 0.1 * fast, slow - 0.1 * fast], axis=1)
@@ -61,12 +61,16 @@ def test_kmeans_separates_clusters(rng):
 
 def test_msm_recovers_transition_matrix(rng):
     P_true = np.array([[0.9, 0.1, 0.0], [0.1, 0.8, 0.1], [0.0, 0.2, 0.8]])
-    n = 200000
+    n = 100000
+    cum = P_true.cumsum(1)
+    u = rng.random(n)
     states = np.zeros(n, dtype=int)
+    s = 0
     for t in range(1, n):
-        states[t] = rng.choice(3, p=P_true[states[t - 1]])
+        s = int(np.searchsorted(cum[s], u[t]))
+        states[t] = s
     msm = estimate_markov_model(states, lag=1)
-    np.testing.assert_allclose(msm.transition_matrix, P_true, atol=0.02)
+    np.testing.assert_allclose(msm.transition_matrix, P_true, atol=0.03)
     # stationary distribution check: pi P = pi
     np.testing.assert_allclose(
         msm.pi @ msm.transition_matrix, msm.pi, atol=1e-8

@@ -72,7 +72,7 @@ def main():
     )
 
     rt = MDGenRuntime(cfg)
-    ds = MDGenDataset(cfg, split, data_dir)
+    ds = MDGenDataset(cfg, split, data_dir, repeat=64)
     loader = Loader(ds, cfg.batch_size, shuffle=True, seed=0)
 
     batch0 = next(iter(loader))

@@ -39,6 +39,8 @@ def parse_args():
     parser.add_argument("--train_batches", type=int, default=None)
     parser.add_argument("--val_batches", type=int, default=None)
     parser.add_argument("--val_repeat", type=int, default=1)
+    parser.add_argument("--val_freq", type=int, default=None,
+                        help="also validate every N train steps")
     parser.add_argument("--val_epoch_freq", type=int, default=1)
     parser.add_argument("--no_validate", action="store_true")
     parser.add_argument("--designability_freq", type=int, default=1)
@@ -147,6 +149,8 @@ def main():
                 logger.flush("iter", epoch=epoch, step=int(state.step))
             else:
                 logger.log_dict({k: np.asarray(v) for k, v in metrics.items()}, "train")
+            if args.val_freq and int(state.step) % args.val_freq == 0:
+                run_validation(epoch)
 
         logger.flush("train", epoch=epoch, step=int(state.step))
         if not args.no_validate and (epoch + 1) % args.val_epoch_freq == 0:

@@ -287,7 +287,8 @@ class LatentMDGenModel(nn.Module):
         if cfg.abs_pos_emb:
             x = x + self.pos_embed
         if cfg.abs_time_emb:
-            x = x + self.time_embed[:, :, None]
+            # slice to the live frame count (mpnn modes run on 1-2 key frames)
+            x = x + self.time_embed[:, : x.shape[1], None]
         if x_cond is not None:
             x = x + self.cond_to_emb(x_cond) + self.mask_to_emb(x_cond_mask)
 

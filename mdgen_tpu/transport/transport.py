@@ -165,9 +165,9 @@ class Transport:
 
         if cfg.design:
             if cfg.dynamic_mpnn or cfg.mpnn:
-                logits = model_output
+                logits = model_output  # [B, 1, L, 20] (singleton frame axis)
                 terms["loss_continuous"] = jnp.full((B,), jnp.nan)
-                loss_d = _cross_entropy(logits, aatype1)
+                loss_d = _cross_entropy(logits[:, 0], aatype1)
                 terms["loss"] = loss_d
             else:
                 terms["loss_continuous"] = terms["loss"]
@@ -221,7 +221,10 @@ class Transport:
 
 def _cross_entropy(logits, labels):
     """Token-mean cross entropy over 20 classes (matches
-    ``F.cross_entropy(logits.reshape(-1,20), labels.reshape(-1))``)."""
+    ``F.cross_entropy(logits.reshape(-1,20), labels.reshape(-1))``). Labels
+    broadcast against the logits' batch shape (mpnn logits keep a singleton
+    frame axis)."""
+    labels = jnp.broadcast_to(labels, logits.shape[:-1])
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     return jnp.mean(nll)

@@ -88,7 +88,15 @@ class MDGenConfig:
     ema_decay: float = 0.999
     batch_size: int = 8
     epochs: int = 100
-    precision: str = "32-true"  # "32-true" | "bf16-mixed"
+    # "32-true": f32 compute; "bf16-mixed": bf16 activations/matmuls with f32
+    # params, layernorms, and softmax (DiT-standard mixed precision)
+    precision: str = "32-true"
+
+    @property
+    def compute_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.precision == "bf16-mixed" else jnp.float32
 
     # -- parallelism -------------------------------------------------------
     dp_size: int = -1  # -1: all devices on the data axis

@@ -62,6 +62,7 @@ class RoPEAttention(nn.Module):
     use_rope: bool = True
     add_bias_kv: bool = True
     impl: str = "auto"
+    dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
@@ -72,7 +73,8 @@ class RoPEAttention(nn.Module):
         assert hd * H == C
 
         dense = lambda name: nn.Dense(
-            C, kernel_init=xavier, bias_init=zeros_init, name=name
+            C, kernel_init=xavier, bias_init=zeros_init, dtype=self.dtype,
+            name=name,
         )
         q = dense("q_proj")(x) * hd**-0.5
         k = dense("k_proj")(x)
@@ -90,8 +92,14 @@ class RoPEAttention(nn.Module):
             bias_v = self.param(
                 "bias_v", nn.initializers.xavier_normal(), (1, 1, C)
             ).reshape(1, 1, H, hd)
-            k = jnp.concatenate([k, jnp.broadcast_to(bias_k, (B, 1, H, hd))], axis=1)
-            v = jnp.concatenate([v, jnp.broadcast_to(bias_v, (B, 1, H, hd))], axis=1)
+            k = jnp.concatenate(
+                [k, jnp.broadcast_to(bias_k.astype(k.dtype), (B, 1, H, hd))],
+                axis=1,
+            )
+            v = jnp.concatenate(
+                [v, jnp.broadcast_to(bias_v.astype(v.dtype), (B, 1, H, hd))],
+                axis=1,
+            )
             S_k = S + 1
             if mask is not None:
                 mask = jnp.concatenate(
@@ -99,7 +107,7 @@ class RoPEAttention(nn.Module):
                 )
 
         if self.use_rope:
-            sin, cos = rotary_tables(S_k, hd, x.dtype)
+            sin, cos = rotary_tables(S_k, hd, q.dtype)
             q = apply_rotary(q, sin[:S][None, :, None, :], cos[:S][None, :, None, :])
             k = apply_rotary(k, sin[None, :, None, :], cos[None, :, None, :])
 
@@ -112,9 +120,11 @@ class RoPEAttention(nn.Module):
         if impl == "dense":
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
             if mask is not None:
-                neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
-                logits = jnp.where(mask[:, None, None, :] > 0, logits, neg)
-            probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+                neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+                logits = jnp.where(
+                    mask[:, None, None, :] > 0, logits.astype(jnp.float32), neg
+                )
+            probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, S, C)
         else:
             from ..ops import chunked_attention, flash_attention
@@ -133,5 +143,6 @@ class RoPEAttention(nn.Module):
             out = out.reshape(B, H, S, hd).transpose(0, 2, 1, 3).reshape(B, S, C)
 
         return nn.Dense(
-            C, kernel_init=xavier, bias_init=zeros_init, name="out_proj"
+            C, kernel_init=xavier, bias_init=zeros_init, dtype=self.dtype,
+            name="out_proj",
         )(out)

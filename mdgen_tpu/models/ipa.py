@@ -37,6 +37,9 @@ class InvariantPointAttention(nn.Module):
     inf: float = 1e5
     eps: float = 1e-8
     zero_init_out: bool = False
+    # compute dtype for the scalar path; the 3D point path stays f32 (frame
+    # distances are numerically sensitive)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -51,31 +54,33 @@ class InvariantPointAttention(nn.Module):
         Pq, Pv = self.no_qk_points, self.no_v_points
         L = s.shape[-2]
 
-        dense = lambda n, name: nn.Dense(
-            n, kernel_init=xavier, bias_init=zeros_init, name=name
+        dense = lambda n, name, dt=None: nn.Dense(
+            n, kernel_init=xavier, bias_init=zeros_init, dtype=dt, name=name
         )
 
-        q = dense(H * ch, "linear_q")(s).reshape(*s.shape[:-1], H, ch)
-        kv = dense(2 * H * ch, "linear_kv")(s).reshape(*s.shape[:-1], H, 2 * ch)
+        q = dense(H * ch, "linear_q", self.dtype)(s).reshape(*s.shape[:-1], H, ch)
+        kv = dense(2 * H * ch, "linear_kv", self.dtype)(s).reshape(
+            *s.shape[:-1], H, 2 * ch
+        )
         k, v = jnp.split(kv, 2, axis=-1)
 
-        # 3D points, projected into the global frame
-        q_pts = dense(H * Pq * 3, "linear_q_points")(s).reshape(
+        # 3D points, projected into the global frame (f32)
+        q_pts = dense(H * Pq * 3, "linear_q_points")(s.astype(jnp.float32)).reshape(
             *s.shape[:-1], H * Pq, 3
         )
         q_pts = frames.expand_dims(-1).apply(q_pts).reshape(
             *s.shape[:-1], H, Pq, 3
         )
-        kv_pts = dense(H * (Pq + Pv) * 3, "linear_kv_points")(s).reshape(
-            *s.shape[:-1], H * (Pq + Pv), 3
-        )
+        kv_pts = dense(H * (Pq + Pv) * 3, "linear_kv_points")(
+            s.astype(jnp.float32)
+        ).reshape(*s.shape[:-1], H * (Pq + Pv), 3)
         kv_pts = frames.expand_dims(-1).apply(kv_pts).reshape(
             *s.shape[:-1], H, Pq + Pv, 3
         )
         k_pts, v_pts = kv_pts[..., :Pq, :], kv_pts[..., Pq:, :]
 
         # scalar attention term
-        a = jnp.einsum("...qhc,...khc->...hqk", q, k)
+        a = jnp.einsum("...qhc,...khc->...hqk", q, k).astype(jnp.float32)
         a = a * math.sqrt(1.0 / (3 * ch))
 
         # point-distance term: sum_p w_h ||q_i - k_j||^2, expanded so the
@@ -121,5 +126,5 @@ class InvariantPointAttention(nn.Module):
         out_init = zeros_init if self.zero_init_out else xavier
         return nn.Dense(
             s.shape[-1], kernel_init=out_init, bias_init=zeros_init,
-            name="linear_out",
+            dtype=self.dtype, name="linear_out",
         )(out)

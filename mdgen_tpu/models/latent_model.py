@@ -44,11 +44,14 @@ from .layers import (
 )
 
 
-def _dense(n, name=None, zero=False):
+def _dense(n, name=None, zero=False, dtype=None):
+    """Dense with the model init scheme; ``dtype`` is the COMPUTE dtype
+    (params stay f32 — flax casts both for the matmul)."""
     return nn.Dense(
         n,
         kernel_init=zeros_init if zero else xavier,
         bias_init=zeros_init,
+        dtype=dtype,
         name=name,
     )
 
@@ -60,6 +63,7 @@ def _ipa_args(cfg: MDGenConfig):
         no_qk_points=cfg.ipa_qk,
         no_v_points=cfg.ipa_v,
         zero_init_out=True,
+        dtype=cfg.compute_dtype,
     )
 
 
@@ -73,7 +77,8 @@ class IPALayer(nn.Module):
     def __call__(self, x, t, mask, frames: Rigid):
         cfg = self.cfg
         C = cfg.embed_dim
-        mod = _dense(6 * C, "adaLN_modulation", zero=True)(nn.silu(t))
+        dt = cfg.compute_dtype
+        mod = _dense(6 * C, "adaLN_modulation", zero=True, dtype=dt)(nn.silu(t))
         sh_l, sc_l, g_l, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
 
         x = x + InvariantPointAttention(**_ipa_args(cfg), name="ipa")(
@@ -87,7 +92,7 @@ class IPALayer(nn.Module):
             sh_l, sc_l,
         )
         h = RoPEAttention(C, cfg.mha_heads, use_rope=not cfg.no_rope,
-                          name="mha_l")(h, mask)
+                          dtype=dt, name="mha_l")(h, mask)
         x = residual + g_l[:, None] * h
 
         residual = x
@@ -96,7 +101,7 @@ class IPALayer(nn.Module):
                          name="final_layer_norm")(x),
             sh_m, sc_m,
         )
-        h = _dense(C, "fc2")(gelu(_dense(4 * C, "fc1")(h)))
+        h = _dense(C, "fc2", dtype=dt)(gelu(_dense(4 * C, "fc1", dtype=dt)(h)))
         return residual + g_m[:, None] * h
 
 
@@ -110,8 +115,9 @@ class LatentMDGenLayer(nn.Module):
     def __call__(self, x, t, mask, frames: Optional[Rigid] = None):
         cfg = self.cfg
         B, T, L, C = x.shape
+        dt = cfg.compute_dtype
 
-        mod = _dense(9 * C, "adaLN_modulation", zero=True)(nn.silu(t))
+        mod = _dense(9 * C, "adaLN_modulation", zero=True, dtype=dt)(nn.silu(t))
         (sh_l, sc_l, g_l, sh_t, sc_t, g_t, sh_m, sc_m, g_m) = jnp.split(
             mod, 9, axis=-1
         )
@@ -128,7 +134,7 @@ class LatentMDGenLayer(nn.Module):
             use_bias=False, use_scale=False, epsilon=1e-6, name="mha_layer_norm"
         )
         mha_l = RoPEAttention(C, cfg.mha_heads, use_rope=not cfg.no_rope,
-                              name="mha_l")
+                              dtype=dt, name="mha_l")
 
         # residue-axis attention: (B*T, L, C)
         residual = x
@@ -148,7 +154,8 @@ class LatentMDGenLayer(nn.Module):
         else:
             mask_t = jnp.swapaxes(mask, 1, 2).reshape(B * L, T)
             h_t = RoPEAttention(C, cfg.mha_heads, use_rope=not cfg.no_rope,
-                                impl=cfg.attn_impl, name="mha_t")(h_t, mask_t)
+                                impl=cfg.attn_impl, dtype=dt,
+                                name="mha_t")(h_t, mask_t)
         h = jnp.swapaxes(h_t.reshape(B, L, T, C), 1, 2)
         x = residual + g_t[:, None] * h
 
@@ -159,7 +166,7 @@ class LatentMDGenLayer(nn.Module):
                          name="final_layer_norm")(x),
             sh_m, sc_m,
         )
-        h = _dense(C, "fc2")(gelu(_dense(4 * C, "fc1")(h)))
+        h = _dense(C, "fc2", dtype=dt)(gelu(_dense(4 * C, "fc1", dtype=dt)(h)))
         return residual + g_m[:, None] * h
 
 

@@ -11,8 +11,10 @@ port (reference `mdgen/model/mha.py:69`). Preserved semantics:
     apply-after-append order
   * key-padding mask filled with -inf before a float32 softmax
 
-Layout is batch-first (B, S, C); the reference's (S, B, C) transposes
-disappear.
+TPU-first: accepts the factorized trajectory tensor (B, T, L, C) directly
+and attends over either axis via dot_general batch dimensions — the
+reference's transpose+reshape round trips (`mdgen/model/latent_model.py:
+456-476`) never materialize in HBM here.
 """
 from __future__ import annotations
 
@@ -29,11 +31,6 @@ def _rotate_half(x):
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
-def apply_rotary(x, sin, cos):
-    """x: [..., S, D]; sin/cos: [S, D] tables."""
-    return x * cos + _rotate_half(x) * sin
-
-
 def rotary_tables(seq_len: int, dim: int, dtype=jnp.float32):
     """ESM RotaryEmbedding convention: inv_freq over even indices, tables are
     [sin|sin] / [cos|cos] concatenations of the half-dim frequency grid."""
@@ -46,13 +43,20 @@ def rotary_tables(seq_len: int, dim: int, dtype=jnp.float32):
     return jnp.sin(emb).astype(dtype), jnp.cos(emb).astype(dtype)
 
 
-class RoPEAttention(nn.Module):
-    """Self-attention over the last-but-one axis of a (B, S, C) tensor.
+def apply_rotary(x, sin, cos):
+    """x: [..., S, D] (or broadcastable); sin/cos aligned to the S axis."""
+    return x * cos + _rotate_half(x) * sin
 
-    ``impl`` selects the attention inner loop:
+
+class RoPEAttention(nn.Module):
+    """Self-attention over one axis of a (B, S, C) or (B, T, L, C) tensor.
+
+    For 4D inputs, ``axis`` selects the attention axis (1 = frames, 2 =
+    residues); the other spatial axis batches. ``impl`` selects the inner
+    loop:
       * "dense"   — einsum logits (best for short sequences, differentiable)
       * "chunked" — blockwise online-softmax in pure JAX (O(S) memory,
-                    differentiable; used for long frame axes in training)
+                    differentiable; long frame axes in training)
       * "flash"   — Pallas TPU kernel (forward-only; sampling path)
       * "auto"    — dense when S <= 512 else chunked
     """
@@ -65,51 +69,83 @@ class RoPEAttention(nn.Module):
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
-        """x: [B, S, C]; mask: [B, S] with 1 = valid. Returns [B, S, C]."""
-        B, S, C = x.shape
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        axis: int = -2,
+    ):
+        """x: [B, S, C] or [B, T, L, C]; mask matches x's leading shape with
+        1 = valid key. Returns the same shape as x."""
+        squeeze = False
+        if x.ndim == 3:
+            x = x[:, None]  # (B, 1, S, C), attend over axis 2
+            mask = mask[:, None] if mask is not None else None
+            axis = 2
+            squeeze = True
+        else:
+            axis = x.ndim + axis if axis < 0 else axis
+            assert axis in (1, 2)
+
+        B, T, L, C = x.shape
         H = self.num_heads
         hd = C // H
         assert hd * H == C
+        S = x.shape[axis]
 
         dense = lambda name: nn.Dense(
             C, kernel_init=xavier, bias_init=zeros_init, dtype=self.dtype,
             name=name,
         )
-        q = dense("q_proj")(x) * hd**-0.5
-        k = dense("k_proj")(x)
-        v = dense("v_proj")(x)
-
-        q = q.reshape(B, S, H, hd)
-        k = k.reshape(B, S, H, hd)
-        v = v.reshape(B, S, H, hd)
+        q = (dense("q_proj")(x) * hd**-0.5).reshape(B, T, L, H, hd)
+        k = dense("k_proj")(x).reshape(B, T, L, H, hd)
+        v = dense("v_proj")(x).reshape(B, T, L, H, hd)
 
         S_k = S
         if self.add_bias_kv:
             bias_k = self.param(
                 "bias_k", nn.initializers.xavier_normal(), (1, 1, C)
-            ).reshape(1, 1, H, hd)
+            ).reshape(1, 1, 1, H, hd)
             bias_v = self.param(
                 "bias_v", nn.initializers.xavier_normal(), (1, 1, C)
-            ).reshape(1, 1, H, hd)
+            ).reshape(1, 1, 1, H, hd)
+            shape = list(k.shape)
+            shape[axis] = 1
             k = jnp.concatenate(
-                [k, jnp.broadcast_to(bias_k.astype(k.dtype), (B, 1, H, hd))],
-                axis=1,
+                [k, jnp.broadcast_to(bias_k.astype(k.dtype), shape)], axis=axis
             )
             v = jnp.concatenate(
-                [v, jnp.broadcast_to(bias_v.astype(v.dtype), (B, 1, H, hd))],
-                axis=1,
+                [v, jnp.broadcast_to(bias_v.astype(v.dtype), shape)], axis=axis
             )
             S_k = S + 1
             if mask is not None:
+                mshape = list(mask.shape)
+                mshape[axis] = 1
                 mask = jnp.concatenate(
-                    [mask, jnp.ones((B, 1), mask.dtype)], axis=1
+                    [mask, jnp.ones(mshape, mask.dtype)], axis=axis
                 )
 
         if self.use_rope:
             sin, cos = rotary_tables(S_k, hd, q.dtype)
-            q = apply_rotary(q, sin[:S][None, :, None, :], cos[:S][None, :, None, :])
-            k = apply_rotary(k, sin[None, :, None, :], cos[None, :, None, :])
+            # align tables to the attention axis of (B, T, L, H, hd)
+            if axis == 1:
+                sin_b = sin[None, :, None, None, :]
+                cos_b = cos[None, :, None, None, :]
+            else:
+                sin_b = sin[None, None, :, None, :]
+                cos_b = cos[None, None, :, None, :]
+
+            def rope(t_, full):
+                s_ = sin_b if full else (
+                    sin_b[:, :S] if axis == 1 else sin_b[:, :, :S]
+                )
+                c_ = cos_b if full else (
+                    cos_b[:, :S] if axis == 1 else cos_b[:, :, :S]
+                )
+                return t_ * c_ + _rotate_half(t_) * s_
+
+            q = rope(q, full=False)
+            k = rope(k, full=True)
 
         impl = self.impl
         if impl == "auto":
@@ -118,31 +154,59 @@ class RoPEAttention(nn.Module):
             impl = "dense"  # dense wins below the logit-memory crossover
 
         if impl == "dense":
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
-            if mask is not None:
-                neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
-                logits = jnp.where(
-                    mask[:, None, None, :] > 0, logits.astype(jnp.float32), neg
+            if axis == 2:
+                logits = jnp.einsum("btqhd,btkhd->bthqk", q, k)
+                key_mask = mask[:, :, None, None, :] if mask is not None else None
+            else:
+                logits = jnp.einsum("bqlhd,bklhd->blhqk", q, k)
+                key_mask = (
+                    jnp.moveaxis(mask, 1, 2)[:, :, None, None, :]
+                    if mask is not None
+                    else None
                 )
+            if key_mask is not None:
+                neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+                logits = jnp.where(key_mask > 0, logits.astype(jnp.float32), neg)
             probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
-            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, S, C)
+            if axis == 2:
+                out = jnp.einsum("bthqk,btkhd->btqhd", probs, v)
+            else:
+                out = jnp.einsum("blhqk,bklhd->bqlhd", probs, v)
+            out = out.reshape(B, T, L, C)
         else:
             from ..ops import chunked_attention, flash_attention
 
             fn = flash_attention if impl == "flash" else chunked_attention
-            # fold heads into the batch axis: [B*H, S, hd]
-            qf = q.transpose(0, 2, 1, 3).reshape(B * H, S, hd)
-            kf = k.transpose(0, 2, 1, 3).reshape(B * H, S_k, hd)
-            vf = v.transpose(0, 2, 1, 3).reshape(B * H, S_k, hd)
-            if mask is not None:
-                bias = jnp.where(mask > 0, 0.0, jnp.finfo(jnp.float32).min)
+            # fold (other-axis, heads) into batch: [N, S, hd]
+            if axis == 1:
+                qf = q.transpose(0, 2, 3, 1, 4).reshape(B * L * H, S, hd)
+                kf = k.transpose(0, 2, 3, 1, 4).reshape(B * L * H, S_k, hd)
+                vf = v.transpose(0, 2, 3, 1, 4).reshape(B * L * H, S_k, hd)
+                mflat = (
+                    jnp.moveaxis(mask, 1, 2).reshape(B * L, S_k)
+                    if mask is not None
+                    else jnp.ones((B * L, S_k), jnp.float32)
+                )
             else:
-                bias = jnp.zeros((B, S_k), jnp.float32)
+                qf = q.transpose(0, 1, 3, 2, 4).reshape(B * T * H, S, hd)
+                kf = k.transpose(0, 1, 3, 2, 4).reshape(B * T * H, S_k, hd)
+                vf = v.transpose(0, 1, 3, 2, 4).reshape(B * T * H, S_k, hd)
+                mflat = (
+                    mask.reshape(B * T, S_k)
+                    if mask is not None
+                    else jnp.ones((B * T, S_k), jnp.float32)
+                )
+            bias = jnp.where(mflat > 0, 0.0, jnp.finfo(jnp.float32).min)
             bias = jnp.repeat(bias, H, axis=0)
             out = fn(qf, kf, vf, bias)
-            out = out.reshape(B, H, S, hd).transpose(0, 2, 1, 3).reshape(B, S, C)
+            if axis == 1:
+                out = out.reshape(B, L, H, S, hd).transpose(0, 3, 1, 2, 4)
+            else:
+                out = out.reshape(B, T, H, S, hd).transpose(0, 1, 3, 2, 4)
+            out = out.reshape(B, T, L, C)
 
-        return nn.Dense(
+        out = nn.Dense(
             C, kernel_init=xavier, bias_init=zeros_init, dtype=self.dtype,
             name="out_proj",
         )(out)
+        return out[:, 0] if squeeze else out

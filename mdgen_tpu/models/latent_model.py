@@ -136,27 +136,26 @@ class LatentMDGenLayer(nn.Module):
         mha_l = RoPEAttention(C, cfg.mha_heads, use_rope=not cfg.no_rope,
                               dtype=dt, name="mha_l")
 
-        # residue-axis attention: (B*T, L, C)
+        # residue-axis attention (axis 2; frames batch) — no reshape copies
         residual = x
         h = modulate(mha_norm(x), sh_l, sc_l)
-        h = mha_l(h.reshape(B * T, L, C), mask.reshape(B * T, L)).reshape(B, T, L, C)
+        h = mha_l(h, mask, axis=2)
         x = residual + g_l[:, None] * h
 
-        # frame-axis attention (or Hyena): (B*L, T, C)
+        # frame-axis attention (axis 1; residues batch) or Hyena
         residual = x
         h = modulate(mha_norm(x), sh_t, sc_t)
-        h_t = jnp.swapaxes(h, 1, 2).reshape(B * L, T, C)
         if cfg.hyena:
+            h_t = jnp.swapaxes(h, 1, 2).reshape(B * L, T, C)
             h_t = HyenaOperator(
                 d_model=C, l_max=cfg.num_frames, order=2, filter_order=64,
                 name="mha_t",
             )(h_t)
+            h = jnp.swapaxes(h_t.reshape(B, L, T, C), 1, 2)
         else:
-            mask_t = jnp.swapaxes(mask, 1, 2).reshape(B * L, T)
-            h_t = RoPEAttention(C, cfg.mha_heads, use_rope=not cfg.no_rope,
-                                impl=cfg.attn_impl, dtype=dt,
-                                name="mha_t")(h_t, mask_t)
-        h = jnp.swapaxes(h_t.reshape(B, L, T, C), 1, 2)
+            h = RoPEAttention(C, cfg.mha_heads, use_rope=not cfg.no_rope,
+                              impl=cfg.attn_impl, dtype=dt,
+                              name="mha_t")(h, mask, axis=1)
         x = residual + g_t[:, None] * h
 
         # MLP

@@ -49,39 +49,52 @@ def main():
     state = None
     rng = jax.random.PRNGKey(args.seed)
 
+    # group same-length peptides into device batches: independent
+    # trajectories sample in parallel on one chip (the reference loops B=1)
+    by_len: dict[int, list[str]] = {}
     for name in names:
-        seq = df.seqres[name]
-        arr = np.lib.format.open_memmap(
-            os.path.join(args.data_dir, f"{name}{args.suffix}.npy"), "r"
-        )
-        start = np.asarray(arr[0:1], dtype=np.float32)  # 1, L, 14, 3
-        seqres = rc.str_sequence_to_aatype(seq)[None]
-        mask = np.ones_like(seqres, dtype=np.float32)
+        by_len.setdefault(len(df.seqres[name]), []).append(name)
 
-        if state is None:
-            example = {
-                "atom14": np.broadcast_to(
-                    start[:, None], (1, cfg.num_frames, *start.shape[1:])
-                ),
-                "seqres": seqres,
-                "mask": mask,
-            }
-            state = rt.init(jax.random.PRNGKey(0), example)
-            restored, step = checkpoint.load_checkpoint(args.sim_ckpt, state)
-            state = restored
-            print(f"restored {args.sim_ckpt} at step {step}")
+    for L, group in sorted(by_len.items()):
+        for i in range(0, len(group), args.batch_size):
+            chunk = group[i : i + args.batch_size]
+            starts, seqreses = [], []
+            for name in chunk:
+                arr = np.lib.format.open_memmap(
+                    os.path.join(args.data_dir, f"{name}{args.suffix}.npy"), "r"
+                )
+                starts.append(np.asarray(arr[0], dtype=np.float32))
+                seqreses.append(rc.str_sequence_to_aatype(df.seqres[name]))
+            start = np.stack(starts)  # B, L, 14, 3
+            seqres = np.stack(seqreses)
+            mask = np.ones_like(seqres, dtype=np.float32)
 
-        params = rt.eval_params(state)
-        rng, key = jax.random.split(rng)
-        t0 = time.time()
-        traj = rt.rollout(params, start, seqres, mask, key, args.num_rollouts)
-        traj = np.asarray(jax.block_until_ready(traj))
-        dur = time.time() - t0
-        frames = traj.shape[1]
-        print(f"{name}: {frames} frames in {dur:.2f}s ({frames/dur:.1f} frames/s)")
+            if state is None:
+                example = {
+                    "atom14": np.broadcast_to(
+                        start[:, None], (len(chunk), cfg.num_frames, *start.shape[1:])
+                    ),
+                    "seqres": seqres,
+                    "mask": mask,
+                }
+                state = rt.init(jax.random.PRNGKey(0), example)
+                state, step = checkpoint.load_checkpoint(args.sim_ckpt, state)
+                print(f"restored {args.sim_ckpt} at step {step}")
 
-        path = os.path.join(args.out_dir, f"{name}.pdb")
-        atom14_to_pdb(traj[0], seqres[0], path)
+            params = rt.eval_params(state)
+            rng, key = jax.random.split(rng)
+            t0 = time.time()
+            traj = rt.rollout(params, start, seqres, mask, key, args.num_rollouts)
+            traj = np.asarray(jax.block_until_ready(traj))
+            dur = time.time() - t0
+            frames = traj.shape[0] * traj.shape[1]
+            print(
+                f"{','.join(chunk)}: {frames} frames in {dur:.2f}s "
+                f"({frames/dur:.1f} frames/s)"
+            )
+            for j, name in enumerate(chunk):
+                atom14_to_pdb(traj[j], seqres[j],
+                              os.path.join(args.out_dir, f"{name}.pdb"))
 
 
 if __name__ == "__main__":

@@ -60,3 +60,32 @@ def test_chunked_is_differentiable(rng):
     dq = q.at[0, 0, 0].add(eps)
     fd = (loss(dq) - loss(q)) / eps
     np.testing.assert_allclose(float(fd), float(g[0, 0, 0]), rtol=0.05, atol=1e-2)
+
+
+def test_axis_attention_equivalent_to_reshape_path(rng):
+    """The 4D axis-aware attention must match folding the other axis into
+    batch and using the 3D path, with identical parameters."""
+    import flax
+    from mdgen_tpu.models.attention import RoPEAttention
+
+    B, T, L, C, H = 2, 6, 5, 32, 4
+    attn = RoPEAttention(C, H, use_rope=True, add_bias_kv=True)
+    x = jnp.asarray(rng.normal(size=(B, T, L, C)).astype(np.float32))
+    mask = jnp.asarray((rng.random((B, T, L)) > 0.2).astype(np.float32))
+    mask = mask.at[:, :, 0].set(1.0)
+    params = attn.init(jax.random.PRNGKey(0), x, mask, axis=1)
+
+    for axis in (1, 2):
+        out4d = attn.apply(params, x, mask, axis=axis)
+        if axis == 1:
+            x3 = jnp.swapaxes(x, 1, 2).reshape(B * L, T, C)
+            m3 = jnp.swapaxes(mask, 1, 2).reshape(B * L, T)
+            ref = attn.apply(params, x3, m3)
+            ref = jnp.swapaxes(ref.reshape(B, L, T, C), 1, 2)
+        else:
+            x3 = x.reshape(B * T, L, C)
+            m3 = mask.reshape(B * T, L)
+            ref = attn.apply(params, x3, m3).reshape(B, T, L, C)
+        np.testing.assert_allclose(
+            np.asarray(out4d), np.asarray(ref), atol=3e-3
+        )

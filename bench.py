@@ -45,6 +45,7 @@ def main():
         sampling_method="euler",
         inference_steps=EULER_STEPS,
         batch_size=BATCH,
+        precision="bf16-mixed",  # serving precision (params stay f32)
     )
     rt = MDGenRuntime(cfg)
 

@@ -103,6 +103,21 @@ class TrainState(flax.struct.PyTreeNode):
     ema_params: Any  # mirrors params when cfg.ema, else None
 
 
+def _inference_param_cast(cfg: MDGenConfig, params):
+    """Pre-cast parameters to the compute dtype for sampling loops.
+
+    XLA does not hoist the per-step f32->bf16 kernel casts out of the ODE
+    scan, so without this every denoiser evaluation re-reads the full f32
+    parameter set from HBM (measured: ~4x inference slowdown at small batch).
+    """
+    if cfg.precision != "bf16-mixed":
+        return params
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        params,
+    )
+
+
 class MDGenRuntime:
     def __init__(self, cfg: MDGenConfig, mesh=None):
         self.cfg = cfg
@@ -248,10 +263,11 @@ class MDGenRuntime:
             )
         prep = prep_batch(cfg, tok)
         B, T, L = prep.model_kwargs["mask"].shape
+        params_c = _inference_param_cast(cfg, params)
 
         def model_fn(x, t, **kw):
             return self.model_inf.apply(
-                {"params": params}, x, t,
+                {"params": params_c}, x, t,
                 method=self.model_inf.forward_inference, **kw,
             )
 
@@ -305,6 +321,9 @@ class MDGenRuntime:
         cfg = self.cfg
         B, L = seqres.shape
         T = cfg.num_frames
+        # hoist the compute-dtype cast above the rollout scan (idempotent:
+        # _inference_impl's cast is a no-op on already-bf16 leaves)
+        params = _inference_param_cast(cfg, params)
 
         def body(start, key):
             batch = {

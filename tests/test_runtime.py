@@ -141,3 +141,27 @@ def test_checkpoint_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(restored.params),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_design_inference_runs_dirichlet_flow():
+    """Design-mode sampling exercises the on-device Dirichlet conditional
+    flow (table gather + interp inside the ODE loop)."""
+    cfg = tiny_cfg(
+        sim_condition=False,
+        inpainting=True,
+        design=True,
+        ema=False,
+        inference_steps=3,
+    )
+    rt = MDGenRuntime(cfg)
+    batch = make_raw_batch(cfg)
+    state = rt.init(jax.random.PRNGKey(0), batch)
+    state, metrics = rt.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["loss_discrete"]))
+
+    atom14, aa_out = rt.inference(state.params, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(atom14)).all()
+    # designed sequence: integer aatype in [0, 20)
+    aa = np.asarray(aa_out)
+    assert aa.min() >= 0 and aa.max() < 20

@@ -160,6 +160,45 @@ def prep_batch_no_frames(cfg: MDGenConfig, batch: dict) -> PreparedBatch:
     return PreparedBatch(latents, loss_mask, None, model_kwargs)
 
 
+def build_upsampling_windows(tok: dict, num_frames: int, cond_interval: int):
+    """Pack a low-framerate token trajectory into inpainting windows.
+
+    Each window holds ``num_frames // cond_interval`` kept frames at every
+    ``cond_interval``-th slot, zeros + identity rotations in between
+    (reference `upsampling_inference.py:47-66`).
+
+    tok: single-trajectory token dict {torsions [T0,L,7,2], torsion_mask,
+    trans, rots, seqres, mask}. Returns a list of window dicts (numpy).
+    """
+    import numpy as np
+
+    kept_per_window = num_frames // cond_interval
+    T0, L = tok["torsions"].shape[:2]
+    n_windows = T0 // kept_per_window
+    out = []
+    for w in range(n_windows):
+        sel = slice(w * kept_per_window, (w + 1) * kept_per_window)
+        torsions = np.zeros((num_frames, L, 7, 2), np.float32)
+        trans = np.zeros((num_frames, L, 3), np.float32)
+        rots = np.broadcast_to(
+            np.eye(3, dtype=np.float32), (num_frames, L, 3, 3)
+        ).copy()
+        torsions[::cond_interval] = tok["torsions"][sel]
+        trans[::cond_interval] = tok["trans"][sel]
+        rots[::cond_interval] = tok["rots"][sel]
+        out.append(
+            {
+                "torsions": torsions,
+                "torsion_mask": np.asarray(tok["torsion_mask"], np.float32),
+                "trans": trans,
+                "rots": rots,
+                "seqres": np.asarray(tok["seqres"]),
+                "mask": np.asarray(tok["mask"], np.float32),
+            }
+        )
+    return out
+
+
 def decode_latents(
     cfg: MDGenConfig,
     samples: jnp.ndarray,

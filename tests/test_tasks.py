@@ -89,3 +89,31 @@ def test_decode_latents_roundtrips_prep(rng):
     np.testing.assert_allclose(
         np.asarray(atom14)[..., 1, :], np.asarray(batch["trans"]), atol=2e-3
     )
+
+
+def test_upsampling_window_packing(rng):
+    from mdgen_tpu.tasks import build_upsampling_windows
+
+    T0, L = 20, 4
+    tok = {
+        "torsions": rng.normal(size=(T0, L, 7, 2)).astype(np.float32),
+        "torsion_mask": np.ones((L, 7), np.float32),
+        "trans": rng.normal(size=(T0, L, 3)).astype(np.float32),
+        "rots": np.broadcast_to(np.eye(3, dtype=np.float32), (T0, L, 3, 3)).copy(),
+        "seqres": rng.integers(0, 20, size=(L,)).astype(np.int32),
+        "mask": np.ones(L, np.float32),
+    }
+    windows = build_upsampling_windows(tok, num_frames=50, cond_interval=10)
+    assert len(windows) == 4  # 20 kept frames / 5 per window
+    w0 = windows[0]
+    assert w0["trans"].shape == (50, L, 3)
+    # kept frames land every cond_interval-th slot
+    np.testing.assert_array_equal(w0["trans"][::10], tok["trans"][:5])
+    np.testing.assert_array_equal(w0["torsions"][::10], tok["torsions"][:5])
+    # gaps: zero translations, identity rotations
+    assert np.abs(w0["trans"][1:10]).sum() == 0
+    np.testing.assert_array_equal(
+        w0["rots"][3], np.broadcast_to(np.eye(3, dtype=np.float32), (L, 3, 3))
+    )
+    # second window continues where the first left off
+    np.testing.assert_array_equal(windows[1]["trans"][::10], tok["trans"][5:10])

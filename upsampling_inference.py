@@ -68,26 +68,9 @@ def main():
         )
         tok = {k: np.asarray(v)[0] for k, v in tok.items()}
 
-        n_windows = len(arr) // kept_per_window
-        window_batches = []
-        for w in range(n_windows):
-            sel = slice(w * kept_per_window, (w + 1) * kept_per_window)
-            torsions = np.zeros((T, L, 7, 2), np.float32)
-            trans = np.zeros((T, L, 3), np.float32)
-            rots = np.broadcast_to(np.eye(3, dtype=np.float32), (T, L, 3, 3)).copy()
-            torsions[::ci] = tok["torsions"][sel]
-            trans[::ci] = tok["trans"][sel]
-            rots[::ci] = tok["rots"][sel]
-            window_batches.append(
-                {
-                    "torsions": torsions,
-                    "torsion_mask": tok["torsion_mask"],
-                    "trans": trans,
-                    "rots": rots,
-                    "seqres": aatype,
-                    "mask": np.ones(L, np.float32),
-                }
-            )
+        from mdgen_tpu.tasks import build_upsampling_windows
+
+        window_batches = build_upsampling_windows(tok, T, ci)
 
         all_atom14 = []
         B = args.batch_size

@@ -29,6 +29,8 @@ def parse_args():
     p.add_argument("--chunk_idx", type=int, default=0)
     p.add_argument("--n_chunks", type=int, default=1)
     p.add_argument("--seed", type=int, default=137)
+    p.add_argument("--tica_lag", type=int, default=1000)
+    p.add_argument("--msm_lag", type=int, default=1000)
     return p.parse_args()
 
 
@@ -61,11 +63,20 @@ def main():
         arr = np.lib.format.open_memmap(
             os.path.join(args.data_dir, f"{name}{args.suffix}.npy"), "r"
         )
-        meta = load_or_build_msm(
-            f"{args.out_dir}/{name}_metadata.pkl", arr, aatype, seed=args.seed
-        )
-        start_state, end_state = highest_flux_states(meta["cmsm"])
-        ref_discrete = meta["ref_discrete"]
+        try:
+            meta = load_or_build_msm(
+                f"{args.out_dir}/{name}_metadata.pkl", arr, aatype,
+                tica_lag=args.tica_lag, msm_lag=args.msm_lag, seed=args.seed,
+            )
+            start_state, end_state = highest_flux_states(meta["cmsm"])
+            ref_discrete = meta["ref_discrete"]
+        except Exception as e:
+            if not args.random_start_idx:
+                raise
+            # with --random_start_idx the MSM only labels metadata
+            print(f"MSM unavailable for {name} ({e}); using random windows")
+            start_state = end_state = -1
+            ref_discrete = np.zeros(len(arr), dtype=int)
         if cfg.frame_interval:
             arr = arr[:: cfg.frame_interval]
             ref_discrete = ref_discrete[:: cfg.frame_interval]

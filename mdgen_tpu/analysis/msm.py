@@ -38,6 +38,11 @@ class TICA:
             if len(X) > lag:
                 pairs0.append(X[:-lag])
                 pairs1.append(X[lag:])
+        if not pairs0:
+            raise ValueError(
+                f"TICA lag {lag} >= every trajectory length "
+                f"({[len(X) for X in trajs]}); lower --tica_lag"
+            )
         X0 = np.concatenate(pairs0, 0).astype(np.float64)
         X1 = np.concatenate(pairs1, 0).astype(np.float64)
         # symmetrized mean (reversible estimate)

@@ -67,14 +67,19 @@ def load_or_build_msm(cache_path: str, arr, aatype, **kw) -> dict:
 
 
 def lowest_flux_states(cmsm) -> tuple[int, int]:
-    """argmin of nonzero flux T_ij * pi_j (reference `tps_inference.py:110-112`)."""
+    """argmin of nonzero flux T_ij * pi_j (reference `tps_inference.py:110-112`),
+    mapped from active-set indices back to metastable labels (the reference
+    implicitly assumes the active set covers all states)."""
     flux = cmsm.transition_matrix * cmsm.pi[None, :]
     flux[flux < 1e-7] = np.inf
-    return tuple(np.unravel_index(np.argmin(flux), flux.shape))
+    i, j = np.unravel_index(np.argmin(flux), flux.shape)
+    return int(cmsm.active_set[i]), int(cmsm.active_set[j])
 
 
 def highest_flux_states(cmsm) -> tuple[int, int]:
-    """argmax off-diagonal flux (reference `design_inference.py:102-104`)."""
+    """argmax off-diagonal flux (reference `design_inference.py:102-104`),
+    mapped to metastable labels via the active set."""
     flux = cmsm.transition_matrix * cmsm.pi[None, :]
     np.fill_diagonal(flux, 0)
-    return tuple(np.unravel_index(np.argmax(flux), flux.shape))
+    i, j = np.unravel_index(np.argmax(flux), flux.shape)
+    return int(cmsm.active_set[i]), int(cmsm.active_set[j])

@@ -24,6 +24,9 @@ parser.add_argument("--pdbdir", type=str, required=True)
 parser.add_argument("--suffix", type=str, default="",
                     help="reference npy suffix")
 parser.add_argument("--save", action="store_true")
+parser.add_argument("--plot", action="store_true",
+                    help="write a per-peptide PDF: torsion marginals, "
+                         "decorrelation curves, TICA free-energy surfaces")
 parser.add_argument("--save_name", type=str, default="out.pkl")
 parser.add_argument("--pdb_id", nargs="*", default=[])
 parser.add_argument("--no_msm", action="store_true")
@@ -132,6 +135,40 @@ def main(name):
         out["our_decorrelation"]["tica"] = acovf(
             traj_tica[:, 0], 1 if args.ito else 1000, adjusted=True, demean=False
         ).astype(np.float16)
+
+    if args.plot:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axs = plt.subplots(2, 3, figsize=(16, 9))
+        for i in range(min(n_feats, 8)):
+            bins = np.linspace(-np.pi, np.pi, 61)
+            axs[0, 0].hist(ref_ang[:, i], bins=bins, histtype="step")
+            axs[0, 1].hist(traj_ang[:, i], bins=bins, histtype="step")
+        axs[0, 0].set_title("torsion marginals (MD)")
+        axs[0, 1].set_title("torsion marginals (ours)")
+        if not args.no_decorr:
+            for i, feat in enumerate(feat_names):
+                curve = out["md_decorrelation"][feat].astype(np.float64)
+                axs[0, 2].plot(1 + np.arange(len(curve)), curve, lw=0.8)
+            axs[0, 2].set_xscale("log")
+            axs[0, 2].set_title("MD torsion decorrelation")
+        for ax, data, title in [
+            (axs[1, 0], ref_tica, "TICA FES (MD)"),
+            (axs[1, 1], traj_tica, "TICA FES (ours)"),
+        ]:
+            h, xe, ye = np.histogram2d(data[:, 0], data[:, 1], bins=50)
+            with np.errstate(divide="ignore"):
+                F = -np.log(h.T / h.sum())
+            ax.imshow(F, origin="lower", aspect="auto",
+                      extent=[xe[0], xe[-1], ye[0], ye[-1]], cmap="viridis")
+            ax.set_title(title)
+        axs[1, 2].bar(range(len(out["JSD"])), list(out["JSD"].values()))
+        axs[1, 2].set_title("JSDs")
+        fig.savefig(f"{args.pdbdir}/{name}.pdf")
+        plt.close(fig)
 
     if not args.no_msm:
         try:

@@ -109,6 +109,8 @@ def main():
                 and ((epoch + 1) % args.designability_freq == 0 or args.validate)
             )
             if do_design:
+                from mdgen_tpu.geometry.constants import aatype_to_str_sequence
+
                 atom14, aa_out = rt.inference(eval_params, batch, key)
                 seq = np.asarray(batch["seqres"])
                 rec = np.asarray(aa_out) == seq[:, None, :]
@@ -117,6 +119,12 @@ def main():
                     "cond_aa_recovery",
                     float(np.concatenate([rec[:, :, :1], rec[:, :, -1:]], 2).mean()),
                     "val",
+                )
+                log.info(
+                    "seq_pred="
+                    + ",".join(aatype_to_str_sequence(a) for a in np.asarray(aa_out)[:, 0])
+                    + " seq_true="
+                    + ",".join(aatype_to_str_sequence(a) for a in seq)
                 )
                 path = os.path.join(model_dir, f"epoch{epoch}_{names[0]}.pdb")
                 atom14_to_pdb(np.asarray(atom14[0]), seq[0], path)

@@ -165,3 +165,18 @@ def test_design_inference_runs_dirichlet_flow():
     # designed sequence: integer aatype in [0, 20)
     aa = np.asarray(aa_out)
     assert aa.min() >= 0 and aa.max() < 20
+
+
+def test_no_frames_mode_trains_and_samples():
+    """Raw-atom37 ablation: latents are flat coordinates (latent_dim 111)."""
+    cfg = tiny_cfg(no_frames=True, prepend_ipa=False, abs_pos_emb=True,
+                   ema=False, inference_steps=3)
+    assert cfg.latent_dim == 111
+    rt = MDGenRuntime(cfg)
+    batch = make_raw_batch(cfg)
+    state = rt.init(jax.random.PRNGKey(0), batch)
+    state, metrics = rt.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    atom14, aa = rt.inference(state.params, batch, jax.random.PRNGKey(2))
+    assert atom14.shape == (4, cfg.num_frames, 4, 14, 3)
+    assert np.isfinite(np.asarray(atom14)).all()

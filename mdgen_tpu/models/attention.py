@@ -31,6 +31,24 @@ def _rotate_half(x):
     return jnp.concatenate([-x2, x1], axis=-1)
 
 
+def _blockwise_xavier(n_blocks: int):
+    """Initialize a fused (C, n*C) kernel as n independent xavier (C, C)
+    blocks, preserving the per-projection init statistics of separate
+    q/k/v layers."""
+
+    def init(key, shape, dtype=jnp.float32):
+        import jax
+
+        C_in = shape[0]
+        C_out = shape[1] // n_blocks
+        keys = jax.random.split(key, n_blocks)
+        return jnp.concatenate(
+            [xavier(k, (C_in, C_out), dtype) for k in keys], axis=1
+        )
+
+    return init
+
+
 def rotary_tables(seq_len: int, dim: int, dtype=jnp.float32):
     """ESM RotaryEmbedding convention: inv_freq over even indices, tables are
     [sin|sin] / [cos|cos] concatenations of the half-dim frequency grid."""
@@ -93,13 +111,16 @@ class RoPEAttention(nn.Module):
         assert hd * H == C
         S = x.shape[axis]
 
-        dense = lambda name: nn.Dense(
-            C, kernel_init=xavier, bias_init=zeros_init, dtype=self.dtype,
-            name=name,
-        )
-        q = (dense("q_proj")(x) * hd**-0.5).reshape(B, T, L, H, hd)
-        k = dense("k_proj")(x).reshape(B, T, L, H, hd)
-        v = dense("v_proj")(x).reshape(B, T, L, H, hd)
+        # single fused qkv projection: one weight stream instead of three
+        # (per-matmul DMA issue overhead dominates at these model sizes)
+        qkv = nn.Dense(
+            3 * C, kernel_init=_blockwise_xavier(3), bias_init=zeros_init,
+            dtype=self.dtype, name="qkv_proj",
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = (q * hd**-0.5).reshape(B, T, L, H, hd)
+        k = k.reshape(B, T, L, H, hd)
+        v = v.reshape(B, T, L, H, hd)
 
         S_k = S
         if self.add_bias_kv:

@@ -54,30 +54,24 @@ class InvariantPointAttention(nn.Module):
         Pq, Pv = self.no_qk_points, self.no_v_points
         L = s.shape[-2]
 
-        dense = lambda n, name, dt=None: nn.Dense(
-            n, kernel_init=xavier, bias_init=zeros_init, dtype=dt, name=name
-        )
+        # fused scalar qkv: one weight stream instead of two
+        qkv = nn.Dense(
+            3 * H * ch, kernel_init=xavier, bias_init=zeros_init,
+            dtype=self.dtype, name="linear_qkv",
+        )(s).reshape(*s.shape[:-1], H, 3 * ch)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        q = dense(H * ch, "linear_q", self.dtype)(s).reshape(*s.shape[:-1], H, ch)
-        kv = dense(2 * H * ch, "linear_kv", self.dtype)(s).reshape(
-            *s.shape[:-1], H, 2 * ch
+        # fused 3D point projection (f32), one weight stream
+        pts = nn.Dense(
+            H * (2 * Pq + Pv) * 3, kernel_init=xavier, bias_init=zeros_init,
+            name="linear_points",
+        )(s.astype(jnp.float32)).reshape(*s.shape[:-1], H * (2 * Pq + Pv), 3)
+        pts = frames.expand_dims(-1).apply(pts).reshape(
+            *s.shape[:-1], H, 2 * Pq + Pv, 3
         )
-        k, v = jnp.split(kv, 2, axis=-1)
-
-        # 3D points, projected into the global frame (f32)
-        q_pts = dense(H * Pq * 3, "linear_q_points")(s.astype(jnp.float32)).reshape(
-            *s.shape[:-1], H * Pq, 3
-        )
-        q_pts = frames.expand_dims(-1).apply(q_pts).reshape(
-            *s.shape[:-1], H, Pq, 3
-        )
-        kv_pts = dense(H * (Pq + Pv) * 3, "linear_kv_points")(
-            s.astype(jnp.float32)
-        ).reshape(*s.shape[:-1], H * (Pq + Pv), 3)
-        kv_pts = frames.expand_dims(-1).apply(kv_pts).reshape(
-            *s.shape[:-1], H, Pq + Pv, 3
-        )
-        k_pts, v_pts = kv_pts[..., :Pq, :], kv_pts[..., Pq:, :]
+        q_pts = pts[..., :Pq, :]
+        k_pts = pts[..., Pq : 2 * Pq, :]
+        v_pts = pts[..., 2 * Pq :, :]
 
         # scalar attention term
         a = jnp.einsum("...qhc,...khc->...hqk", q, k).astype(jnp.float32)

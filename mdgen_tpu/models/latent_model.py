@@ -74,11 +74,13 @@ class IPALayer(nn.Module):
     cfg: MDGenConfig
 
     @nn.compact
-    def __call__(self, x, t, mask, frames: Rigid):
+    def __call__(self, x, mod, mask, frames: Rigid):
+        """``mod`` is this layer's 6-chunk adaLN modulation slice, computed
+        once for the whole tower (one fused matmul per step instead of one
+        small weight-stream per layer)."""
         cfg = self.cfg
         C = cfg.embed_dim
         dt = cfg.compute_dtype
-        mod = _dense(6 * C, "adaLN_modulation", zero=True, dtype=dt)(nn.silu(t))
         sh_l, sc_l, g_l, sh_m, sc_m, g_m = jnp.split(mod, 6, axis=-1)
 
         x = x + InvariantPointAttention(**_ipa_args(cfg), name="ipa")(
@@ -112,12 +114,13 @@ class LatentMDGenLayer(nn.Module):
     cfg: MDGenConfig
 
     @nn.compact
-    def __call__(self, x, t, mask, frames: Optional[Rigid] = None):
+    def __call__(self, x, mod, mask, frames: Optional[Rigid] = None):
+        """``mod`` is this layer's 9-chunk adaLN modulation slice (fused
+        trunk-wide matmul, see LatentMDGenModel.__call__)."""
         cfg = self.cfg
         B, T, L, C = x.shape
         dt = cfg.compute_dtype
 
-        mod = _dense(9 * C, "adaLN_modulation", zero=True, dtype=dt)(nn.silu(t))
         (sh_l, sc_l, g_l, sh_t, sc_t, g_t, sh_m, sc_m, g_m) = jnp.split(
             mod, 9, axis=-1
         )
@@ -208,6 +211,17 @@ class LatentMDGenModel(nn.Module):
         self.layers = [
             layer_cls(cfg, name=f"layers_{i}") for i in range(cfg.num_layers)
         ]
+        # fused adaLN-zero modulation producers: one matmul per tower per
+        # step instead of one per layer (zero-init preserves adaLN-zero)
+        self.trunk_adaln = _dense(
+            9 * cfg.embed_dim * cfg.num_layers, "trunk_adaln", zero=True,
+            dtype=cfg.compute_dtype,
+        )
+        if cfg.prepend_ipa:
+            self.ipa_adaln = _dense(
+                6 * cfg.embed_dim * cfg.num_layers, "ipa_adaln", zero=True,
+                dtype=cfg.compute_dtype,
+            )
 
         if not (cfg.dynamic_mpnn or cfg.mpnn):
             self.emb_to_latent = FinalLayer(
@@ -245,8 +259,9 @@ class LatentMDGenModel(nn.Module):
                 x = x + self.aatype_to_emb(aatype)
             if cfg.design:
                 x = x + self.x_d_to_emb(x_d)
-            for layer in self.ipa_layers:
-                x = layer(x, t, mask, frames=start_frames)
+            mods = jnp.split(self.ipa_adaln(nn.silu(t)), cfg.num_layers, axis=-1)
+            for layer, mod in zip(self.ipa_layers, mods):
+                x = layer(x, mod, mask, frames=start_frames)
             return x
         elif cfg.tps_condition or cfg.inpainting or cfg.dynamic_mpnn:
             x_f = start_frames.invert().compose(end_frames).to_tensor_7()
@@ -259,9 +274,10 @@ class LatentMDGenModel(nn.Module):
             if cfg.design:
                 x_f = x_f + self.x_d_to_emb(x_d)
                 x_r = x_r + self.x_d_to_emb(x_d)
-            for layer in self.ipa_layers:
-                x_r = layer(x_r, t, mask, frames=start_frames)
-                x_f = layer(x_f, t, mask, frames=end_frames)
+            mods = jnp.split(self.ipa_adaln(nn.silu(t)), cfg.num_layers, axis=-1)
+            for layer, mod in zip(self.ipa_layers, mods):
+                x_r = layer(x_r, mod, mask, frames=start_frames)
+                x_f = layer(x_f, mod, mask, frames=end_frames)
             return x_r + x_f
         raise ValueError("prepend_ipa requires a conditioning mode")
 
@@ -305,8 +321,11 @@ class LatentMDGenModel(nn.Module):
                 t_emb[:, 0], mask[:, 0], start_frames, end_frames, aatype, x_d=x_d
             )[:, None]
 
-        for layer in self.layers:
-            x = layer(x, t_emb, mask, start_frames)
+        # one fused adaLN matmul for all trunk layers (9 chunks x n_layers)
+        trunk_mods = self.trunk_adaln(nn.silu(t_emb))
+        trunk_mods = jnp.split(trunk_mods, cfg.num_layers, axis=-1)
+        for layer, mod in zip(self.layers, trunk_mods):
+            x = layer(x, mod, mask, start_frames)
 
         latent = None
         if not (cfg.dynamic_mpnn or cfg.mpnn):

@@ -358,6 +358,19 @@ class MDGenRuntime:
             params, start_atom14, seqres, mask, rng, num_rollouts=num_rollouts
         )
 
+    def grad_report(self, state: TrainState, batch, rng):
+        """Per-parameter gradient norms (reference ``--check_grad``,
+        `mdgen/wrapper.py:115-118`): returns {path: norm} so callers can warn
+        about parameters that receive no gradient."""
+        grads = jax.grad(lambda p: self._loss_fn(p, rng, batch)[0])(state.params)
+        flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in kp): float(
+                jnp.linalg.norm(leaf)
+            )
+            for kp, leaf in flat
+        }
+
     def eval_params(self, state: TrainState):
         """Parameters to evaluate with: EMA when enabled (reference swaps EMA
         weights in for validation, `mdgen/wrapper.py:88-93`)."""

@@ -180,3 +180,13 @@ def test_no_frames_mode_trains_and_samples():
     atom14, aa = rt.inference(state.params, batch, jax.random.PRNGKey(2))
     assert atom14.shape == (4, cfg.num_frames, 4, 14, 3)
     assert np.isfinite(np.asarray(atom14)).all()
+
+
+def test_hyena_training_step():
+    """Hyena frame-axis mixing trains (FFT conv has working gradients)."""
+    cfg = tiny_cfg(hyena=True, ema=False)
+    rt = MDGenRuntime(cfg)
+    batch = make_raw_batch(cfg)
+    state = rt.init(jax.random.PRNGKey(0), batch)
+    state, metrics = rt.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))

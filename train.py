@@ -46,6 +46,9 @@ def parse_args():
     parser.add_argument("--designability_freq", type=int, default=1)
     parser.add_argument("--inference_batches", type=int, default=0)
     parser.add_argument("--seed", type=int, default=137)
+    parser.add_argument("--check_grad", action="store_true",
+                        help="after the first step, warn about parameters "
+                             "with zero gradient")
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="capture a jax.profiler trace of N steps "
                              "(starting at step 10) into MODEL_DIR/trace")
@@ -94,6 +97,13 @@ def main():
     if args.ckpt:
         state, step = checkpoint.load_checkpoint(args.ckpt, state)
         log.info(f"restored checkpoint at step {step}")
+
+    if args.check_grad:
+        norms = rt.grad_report(state, example, jax.random.fold_in(rng, 1))
+        dead = [k for k, v in norms.items() if v == 0.0]
+        for k in dead:
+            log.warning(f"param {k} has no grad")
+        log.info(f"check_grad: {len(dead)}/{len(norms)} zero-grad params")
 
     def run_validation(epoch):
         eval_params = rt.eval_params(state)

@@ -98,12 +98,7 @@ def main():
         state, step = checkpoint.load_checkpoint(args.ckpt, state)
         log.info(f"restored checkpoint at step {step}")
 
-    if args.check_grad:
-        norms = rt.grad_report(state, example, jax.random.fold_in(rng, 1))
-        dead = [k for k, v in norms.items() if v == 0.0]
-        for k in dead:
-            log.warning(f"param {k} has no grad")
-        log.info(f"check_grad: {len(dead)}/{len(norms)} zero-grad params")
+    check_grad_pending = args.check_grad
 
     def run_validation(epoch):
         eval_params = rt.eval_params(state)
@@ -155,6 +150,15 @@ def main():
             if args.profile_steps and step_now == 10:
                 jax.profiler.start_trace(os.path.join(model_dir, "trace"))
             state, metrics = rt.train_step(state, batch, key)
+            if check_grad_pending and int(state.step) >= 2:
+                # after >=1 optimizer step the adaLN-zero gates are nonzero,
+                # so every live parameter should now receive gradient
+                norms = rt.grad_report(state, batch, key)
+                dead = [k for k, v in norms.items() if v == 0.0]
+                for k in dead:
+                    log.warning(f"param {k} has no grad")
+                log.info(f"check_grad: {len(dead)}/{len(norms)} zero-grad params")
+                check_grad_pending = False
             if args.profile_steps and step_now == 10 + args.profile_steps:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()

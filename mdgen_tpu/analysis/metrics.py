@@ -7,16 +7,19 @@ Ramachandran JSDs, autocovariance-based decorrelation curves.
 from __future__ import annotations
 
 import numpy as np
+from scipy.spatial.distance import jensenshannon as _scipy_jensenshannon
 
 
-def jensen_shannon(p: np.ndarray, q: np.ndarray, eps: float = 1e-12) -> float:
-    """JSD (base-2 mixture form) between two discrete distributions."""
-    p = np.asarray(p, np.float64) + eps
-    q = np.asarray(q, np.float64) + eps
-    p, q = p / p.sum(), q / q.sum()
-    m = 0.5 * (p + q)
-    kl = lambda a, b: np.sum(a * np.log2(a / b))
-    return 0.5 * kl(p, m) + 0.5 * kl(q, m)
+def jensen_shannon(p: np.ndarray, q: np.ndarray) -> float:
+    """Jensen-Shannon *distance*, exactly scipy's definition: the square
+    root of the JS divergence with natural-log KL terms. The reference's
+    headline quality numbers are ``scipy.spatial.distance.jensenshannon``
+    on histogram counts (reference `scripts/analyze_peptide_sim.py:21,54,59`),
+    so this must be byte-comparable — do not substitute a base-2 or
+    non-sqrt variant."""
+    p = np.asarray(p, np.float64)
+    q = np.asarray(q, np.float64)
+    return float(_scipy_jensenshannon(p, q))
 
 
 def hist_jsd(a: np.ndarray, b: np.ndarray, bins: int = 100,

@@ -46,6 +46,7 @@ from mdgen_tpu.analysis import (  # noqa: E402
     featurize_torsions,
     jensen_shannon,
 )
+from mdgen_tpu.analysis.featurize import describe_features  # noqa: E402
 from mdgen_tpu.analysis.metrics import acovf, torsion_decorrelation_curve  # noqa: E402
 from mdgen_tpu.analysis.msm import TICA  # noqa: E402
 from mdgen_tpu.protein import load_pdb_trajectory  # noqa: E402
@@ -71,7 +72,7 @@ def main(name):
     traj_ang = torsion_features(traj_atom14, aatype, cossin=False)
     ref_ang = torsion_features(ref_atom14, aatype, cossin=False)
     n_feats = traj_ang.shape[1]
-    feat_names = [f"TORSION_{i}" for i in range(n_feats)]
+    feat_names = describe_features(aatype, sidechains=True)
     out["features"] = feat_names
 
     out["JSD"] = {}
@@ -80,8 +81,10 @@ def main(name):
         tp = np.histogram(traj_ang[:, i], range=(-np.pi, np.pi), bins=100)[0]
         out["JSD"][feat] = jensen_shannon(rp, tp)
 
-    # 2D Ramachandran JSDs on the (phi, psi) pairs (features 1,2 and 3,4 in
-    # the reference ordering; here phi block then psi block — pair them)
+    # 2D Ramachandran JSDs: the featurizer emits pyemma's interleaved order
+    # (psi_0, phi_1, psi_1, phi_2, ...), so features i, i+1 for i in {1, 3}
+    # are true (phi_i, psi_i) Ramachandran pairs of residues 1 and 2 —
+    # same pairs as reference `scripts/analyze_peptide_sim.py:57-59`.
     for i in [1, 3]:
         if i + 1 >= n_feats:
             continue

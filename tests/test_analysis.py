@@ -23,6 +23,77 @@ def test_jsd_properties(rng):
     assert abs(jensen_shannon(p, q) - jensen_shannon(q, p)) < 1e-12
 
 
+def test_jsd_is_scipy_jensenshannon(rng):
+    """The reference's quality numbers are scipy.spatial.distance.jensenshannon
+    (sqrt of natural-log JS divergence) on raw histogram counts — ours must be
+    the identical function (reference scripts/analyze_peptide_sim.py:21,54)."""
+    from scipy.spatial.distance import jensenshannon
+
+    # histogram-count-like inputs, including zero bins
+    p = np.floor(rng.random(100) * 20)
+    q = np.floor(rng.random(100) * 20)
+    p[::7] = 0
+    q[::5] = 0
+    assert jensen_shannon(p, q) == pytest.approx(float(jensenshannon(p, q)),
+                                                 abs=0, rel=1e-15)
+    # hand-computed definition: sqrt(0.5 KL(p||m) + 0.5 KL(q||m)), natural log
+    pn, qn = p / p.sum(), q / q.sum()
+    m = 0.5 * (pn + qn)
+    kl = lambda a, b: np.sum(a[a > 0] * np.log(a[a > 0] / b[a > 0]))
+    expect = np.sqrt(0.5 * kl(pn, m) + 0.5 * kl(qn, m))
+    assert jensen_shannon(p, q) == pytest.approx(expect, rel=1e-12)
+
+
+def test_featurizer_pyemma_interleaved_order(rng):
+    """Backbone features must come out in pyemma's atom-index order
+    (psi_0, phi_1, psi_1, ..., phi_{L-1}) so the reference's 2D JSD pairs at
+    i in {1, 3} are true (phi_i, psi_i) Ramachandran pairs."""
+    from mdgen_tpu.analysis.featurize import (
+        describe_features,
+        featurize_torsions,
+        torsion_angles,
+    )
+    from mdgen_tpu.data import synthetic_trajectory
+    from mdgen_tpu.geometry import constants as rc
+
+    seq = "ACDE"
+    L = len(seq)
+    aatype = rc.str_sequence_to_aatype(seq)
+    atom14 = synthetic_trajectory(seq, 6, seed=0)
+
+    feats = featurize_torsions(atom14, aatype, sidechains=False, cossin=False)
+    angles, _ = torsion_angles(atom14, aatype)  # [T, L, 7], [omega,phi,psi,...]
+    assert feats.shape[1] == 2 * (L - 1)
+    expect_cols = [angles[:, 0, 2]]  # psi_0
+    for i in range(1, L - 1):
+        expect_cols += [angles[:, i, 1], angles[:, i, 2]]  # phi_i, psi_i
+    expect_cols.append(angles[:, L - 1, 1])  # phi_{L-1}
+    np.testing.assert_allclose(feats, np.stack(expect_cols, 1), atol=1e-5)
+
+    names = describe_features(aatype, sidechains=False)
+    assert names[0].startswith("PSI") and names[1].startswith("PHI 0")
+    assert [n.split()[0] for n in names[:4]] == ["PSI", "PHI", "PSI", "PHI"]
+    # i in {1,3} pair (phi_i, psi_i) of residues 1 and 2
+    assert names[1].split()[-1] == "1" and names[2].split()[-1] == "1"
+    assert names[3].split()[-1] == "2" and names[4].split()[-1] == "2"
+
+    # cossin doubles features as (cos, sin) pairs in the same order
+    cs = featurize_torsions(atom14, aatype, sidechains=False, cossin=True)
+    np.testing.assert_allclose(cs[:, 0], np.cos(feats[:, 0]), atol=1e-5)
+    np.testing.assert_allclose(cs[:, 1], np.sin(feats[:, 0]), atol=1e-5)
+    cs_names = describe_features(aatype, sidechains=False, cossin=True)
+    assert cs_names[0] == f"COS({names[0]})" and cs_names[1] == f"SIN({names[0]})"
+
+    # sidechain features append chi1-block, chi2-block, ... after backbone
+    sc = featurize_torsions(atom14, aatype, sidechains=True, cossin=False)
+    sc_names = describe_features(aatype, sidechains=True)
+    assert sc.shape[1] == len(sc_names)
+    chi_names = sc_names[2 * (L - 1):]
+    assert all(n.startswith("CHI") for n in chi_names)
+    ks = [int(n[3]) for n in chi_names]
+    assert ks == sorted(ks)
+
+
 def test_acovf_matches_definition(rng):
     x = rng.normal(size=500)
     got = acovf(x, 5, adjusted=True, demean=False)

@@ -59,8 +59,12 @@ def rotmat_to_quat(rot: jnp.ndarray) -> jnp.ndarray:
     quaternions and select the best-conditioned one with a gather. This keeps
     everything on the VPU (the reference uses a 4x4 eigendecomposition,
     `mdgen/rigid_utils.py:191`, which would be a scalar bottleneck on TPU).
-    Output sign is unspecified (q and -q encode the same rotation); callers
-    that need canonical sign should use :func:`canonicalize_quat_sign`.
+    Output sign: the dominant (largest-|value|) component is positive — the
+    Shepperd branch computes it as a positive sqrt. This is a *stable*
+    canonical choice, unlike the reference's LAPACK-eigh eigenvector sign,
+    which flips arbitrarily between nearby rotations (its tps tower
+    effectively trained with random quaternion-sign noise). Callers that
+    need w >= 0 specifically should use :func:`canonicalize_quat_sign`.
     """
     m = rot
     m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]

@@ -1,0 +1,329 @@
+"""Full-model golden parity: reference torch LatentMDGenModel vs ours.
+
+Ports the reference model's ``state_dict`` onto the flax params with
+``mdgen_tpu.interop.port_reference_state_dict`` (the fused qkv / IPA / adaLN
+kernels are re-layouts of the reference's separate matrices) and asserts
+forward agreement in f32 for the sim, tps, and design task modes, plus a
+fixed-(t, x0) training-loss comparison.
+
+Skipped automatically when the read-only reference checkout is absent.
+The reference's MHA imports ``esm.rotary_embedding`` (fair-esm is not
+installed); a faithful stub of that public module is injected instead.
+"""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "mdgen")), reason="reference not available"
+)
+
+if os.path.isdir(os.path.join(REF, "mdgen")):
+    sys.path.insert(0, REF)
+    import torch
+
+    # ---- fair-esm rotary stub (verbatim semantics of esm.rotary_embedding,
+    # which the reference imports at mdgen/model/mha.py:13) ----
+    def _rotate_half(x):
+        x1, x2 = x.chunk(2, dim=-1)
+        return torch.cat((-x2, x1), dim=-1)
+
+    def _apply_rotary_pos_emb(x, cos, sin):
+        cos = cos[:, : x.shape[-2], :]
+        sin = sin[:, : x.shape[-2], :]
+        return (x * cos) + (_rotate_half(x) * sin)
+
+    class _RotaryEmbedding(torch.nn.Module):
+        def __init__(self, dim, *_, **__):
+            super().__init__()
+            inv_freq = 1.0 / (10000 ** (torch.arange(0, dim, 2).float() / dim))
+            self.register_buffer("inv_freq", inv_freq)
+            self._seq_len_cached = None
+            self._cos_cached = None
+            self._sin_cached = None
+
+        def _update_cos_sin_tables(self, x, seq_dimension=1):
+            seq_len = x.shape[seq_dimension]
+            if seq_len != self._seq_len_cached or (
+                self._cos_cached is not None
+                and self._cos_cached.device != x.device
+            ):
+                self._seq_len_cached = seq_len
+                t = torch.arange(seq_len, device=x.device).type_as(self.inv_freq)
+                freqs = torch.einsum("i,j->ij", t, self.inv_freq)
+                emb = torch.cat((freqs, freqs), dim=-1).to(x.device)
+                self._cos_cached = emb.cos()[None, :, :]
+                self._sin_cached = emb.sin()[None, :, :]
+            return self._cos_cached, self._sin_cached
+
+        def forward(self, q, k):
+            cos, sin = self._update_cos_sin_tables(k, seq_dimension=-2)
+            return (
+                _apply_rotary_pos_emb(q, cos, sin),
+                _apply_rotary_pos_emb(k, cos, sin),
+            )
+
+    if "esm" not in sys.modules:
+        esm_mod = types.ModuleType("esm")
+        rot_mod = types.ModuleType("esm.rotary_embedding")
+        rot_mod.RotaryEmbedding = _RotaryEmbedding
+        rot_mod.rotate_half = _rotate_half
+        rot_mod.apply_rotary_pos_emb = _apply_rotary_pos_emb
+        esm_mod.rotary_embedding = rot_mod
+        sys.modules["esm"] = esm_mod
+        sys.modules["esm.rotary_embedding"] = rot_mod
+
+    # Biopython is absent; the reference imports PDBParser transitively via
+    # mdgen.utils -> mdgen.protein, never used by these tests
+    if "Bio" not in sys.modules:
+        bio = types.ModuleType("Bio")
+        bio_pdb = types.ModuleType("Bio.PDB")
+        bio_pdb.PDBParser = object
+        bio.PDB = bio_pdb
+        sys.modules["Bio"] = bio
+        sys.modules["Bio.PDB"] = bio_pdb
+
+    # torchdiffeq is absent; the reference imports it transitively for its
+    # ODE sampler, which these tests never call
+    if "torchdiffeq" not in sys.modules:
+        tdq = types.ModuleType("torchdiffeq")
+
+        def _odeint_stub(*a, **k):
+            raise RuntimeError("torchdiffeq stub: not used in these tests")
+
+        tdq.odeint = _odeint_stub
+        sys.modules["torchdiffeq"] = tdq
+
+    from mdgen.model.latent_model import LatentMDGenModel as RefModel
+    from mdgen.rigid_utils import Rigid as RefRigid, Rotation as RefRotation
+
+    # Quaternion sign is a non-identifiable double-cover choice. The
+    # reference's rot_to_quat takes LAPACK eigh's arbitrary eigenvector sign
+    # (mdgen/rigid_utils.py:191-211) — inconsistent even between nearby
+    # rotations, i.e. effectively input noise in the reference's tps tower.
+    # Ours is Shepperd-canonical (largest-|component| positive). Align the
+    # reference to the same canonical sign so the tps-mode comparison tests
+    # the network, not LAPACK's sign lottery.
+    import mdgen.rigid_utils as _ref_ru
+
+    _orig_rot_to_quat = _ref_ru.rot_to_quat
+
+    def _canonical_rot_to_quat(rot):
+        q = _orig_rot_to_quat(rot)
+        idx = q.abs().argmax(dim=-1, keepdim=True)
+        return q * torch.sign(torch.gather(q, -1, idx))
+
+    _ref_ru.rot_to_quat = _canonical_rot_to_quat
+
+import jax
+import jax.numpy as jnp
+
+from mdgen_tpu.config import MDGenConfig
+from mdgen_tpu.geometry.rigid import Rigid
+from mdgen_tpu.interop import port_reference_state_dict
+from mdgen_tpu.models.latent_model import LatentMDGenModel
+
+B, T, L = 2, 6, 5
+
+
+def _tiny_cfg(**kw):
+    base = dict(
+        num_layers=2,
+        embed_dim=32,
+        mha_heads=4,
+        ipa_heads=2,
+        ipa_head_dim=4,
+        ipa_qk=2,
+        ipa_v=2,
+        num_frames=T,
+        crop=L,
+        prepend_ipa=True,
+        abs_pos_emb=True,
+        abs_time_emb=True,
+    )
+    base.update(kw)
+    return MDGenConfig(**base)
+
+
+def _randomize(ref_model, seed):
+    """The reference zero-inits adaLN/out layers (latent_model.py:130-173);
+    re-randomize every parameter so parity is non-vacuous."""
+    g = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for p in ref_model.parameters():
+            p.copy_(torch.randn(p.shape, generator=g) * 0.2)
+
+
+def _make_pair(cfg, seed=0):
+    torch.manual_seed(seed)
+    ref = RefModel(cfg, cfg.latent_dim).eval()
+    _randomize(ref, seed)
+    params = port_reference_state_dict(ref.state_dict(), cfg, cfg.latent_dim)
+    ours = LatentMDGenModel(cfg, cfg.latent_dim)
+    return ref, ours, params
+
+
+def _inputs(cfg, rng, simplex_tail=False, partial_mask=True):
+    D = cfg.latent_dim
+    x = rng.normal(size=(B, T, L, D)).astype(np.float32)
+    if simplex_tail:
+        p = np.exp(x[..., -20:])
+        x[..., -20:] = p / p.sum(-1, keepdims=True)
+    t = rng.uniform(0.1, 0.9, size=(B,)).astype(np.float32)
+    mask = np.ones((B, T, L), np.float32)
+    if partial_mask:
+        mask[0, :, -1] = 0.0
+    cond_dim = D - 20 if cfg.design else D
+    x_cond = rng.normal(size=(B, T, L, cond_dim)).astype(np.float32)
+    x_cond_mask = (rng.random((B, T, L)) < 0.5).astype(np.int64)
+    aatype = rng.integers(0, 20, size=(B, L)).astype(np.int64)
+
+    from scipy.spatial.transform import Rotation as R
+
+    rots = R.random(B * L, random_state=np.random.RandomState(7)).as_matrix()
+    rots = rots.reshape(B, L, 3, 3).astype(np.float32)
+    trans = rng.normal(size=(B, L, 3)).astype(np.float32) * 3
+    rots2 = R.random(B * L, random_state=np.random.RandomState(8)).as_matrix()
+    rots2 = rots2.reshape(B, L, 3, 3).astype(np.float32)
+    trans2 = rng.normal(size=(B, L, 3)).astype(np.float32) * 3
+    return dict(
+        x=x, t=t, mask=mask, x_cond=x_cond, x_cond_mask=x_cond_mask,
+        aatype=aatype, rots=rots, trans=trans, rots2=rots2, trans2=trans2,
+    )
+
+
+def _ref_forward(ref, cfg, i, inference=False):
+    kw = dict(
+        mask=torch.tensor(i["mask"]),
+        start_frames=RefRigid(
+            RefRotation(rot_mats=torch.tensor(i["rots"])), torch.tensor(i["trans"])
+        ),
+        x_cond=torch.tensor(i["x_cond"]),
+        x_cond_mask=torch.tensor(i["x_cond_mask"]),
+        aatype=torch.tensor(i["aatype"]),
+    )
+    if cfg.tps_condition or cfg.inpainting or cfg.dynamic_mpnn:
+        kw["end_frames"] = RefRigid(
+            RefRotation(rot_mats=torch.tensor(i["rots2"])), torch.tensor(i["trans2"])
+        )
+    fn = ref.forward_inference if inference else ref.forward
+    with torch.no_grad():
+        return fn(torch.tensor(i["x"]), torch.tensor(i["t"]), **kw).numpy()
+
+
+def _our_forward(ours, params, cfg, i, inference=False):
+    kw = dict(
+        mask=jnp.asarray(i["mask"]),
+        start_frames=Rigid(jnp.asarray(i["rots"]), jnp.asarray(i["trans"])),
+        x_cond=jnp.asarray(i["x_cond"]),
+        x_cond_mask=jnp.asarray(i["x_cond_mask"]),
+        aatype=jnp.asarray(i["aatype"]),
+    )
+    if cfg.tps_condition or cfg.inpainting or cfg.dynamic_mpnn:
+        kw["end_frames"] = Rigid(jnp.asarray(i["rots2"]), jnp.asarray(i["trans2"]))
+    with jax.default_matmul_precision("highest"):
+        out = ours.apply(
+            {"params": params}, jnp.asarray(i["x"]), jnp.asarray(i["t"]),
+            method=ours.forward_inference if inference else None, **kw,
+        )
+    return np.asarray(out)
+
+
+def _assert_close(a, b, atol=3e-4):
+    np.testing.assert_allclose(a, b, atol=atol, rtol=1e-3)
+
+
+def test_forward_parity_sim(rng):
+    cfg = _tiny_cfg(sim_condition=True)
+    ref, ours, params = _make_pair(cfg)
+    i = _inputs(cfg, rng)
+    _assert_close(_ref_forward(ref, cfg, i), _our_forward(ours, params, cfg, i))
+
+
+def test_forward_parity_tps(rng):
+    cfg = _tiny_cfg(tps_condition=True)
+    ref, ours, params = _make_pair(cfg, seed=1)
+    i = _inputs(cfg, rng)
+    _assert_close(_ref_forward(ref, cfg, i), _our_forward(ours, params, cfg, i))
+
+
+def test_forward_parity_design(rng):
+    cfg = _tiny_cfg(inpainting=True, design=True)
+    ref, ours, params = _make_pair(cfg, seed=2)
+    i = _inputs(cfg, rng, simplex_tail=True)
+    _assert_close(_ref_forward(ref, cfg, i), _our_forward(ours, params, cfg, i))
+
+
+def test_forward_inference_design_dirichlet_flow(rng):
+    """forward_inference converts logits to the Dirichlet conditional-flow
+    field; ours uses an on-device table, the reference interpolates the same
+    table through SciPy (reference mdgen/model/latent_model.py:263-317)."""
+    cfg = _tiny_cfg(inpainting=True, design=True)
+    ref, ours, params = _make_pair(cfg, seed=3)
+    i = _inputs(cfg, rng, simplex_tail=True)
+    i["t"] = np.full((B,), 0.37, np.float32)  # shared t: ref uses t[0].item()
+    a = _ref_forward(ref, cfg, i, inference=True)
+    b = _our_forward(ours, params, cfg, i, inference=True)
+    # continuous channels must match tightly; the flow channels go through
+    # the c-factor table (f32 interpolation) — slightly looser
+    _assert_close(a[..., :-20], b[..., :-20])
+    np.testing.assert_allclose(a[..., -20:], b[..., -20:], atol=2e-3, rtol=2e-2)
+
+
+def test_training_loss_parity(rng):
+    """Same (t, x0, x1): reference Transport.training_losses (with its
+    sampler patched to the fixed draw) vs our plan.interpolate + mean_flat
+    (reference mdgen/transport/transport.py:138-189)."""
+    from mdgen.transport.transport import create_transport as ref_create
+
+    from mdgen_tpu.transport import TransportConfig, create_transport
+    from mdgen_tpu.transport.transport import mean_flat
+
+    cfg = _tiny_cfg(sim_condition=True)
+    ref, ours, params = _make_pair(cfg, seed=4)
+    i = _inputs(cfg, rng)
+
+    x1 = rng.normal(size=(B, T, L, cfg.latent_dim)).astype(np.float32)
+    x0 = rng.normal(size=(B, T, L, cfg.latent_dim)).astype(np.float32)
+    t = rng.uniform(0.05, 0.95, size=(B,)).astype(np.float32)
+    loss_mask = np.ones_like(x1)
+    loss_mask[0, :, -1] = 0.0
+
+    ref_transport = ref_create(
+        cfg, "GVP", "velocity", None, None, None
+    )
+    ref_transport.sample = lambda x1_: (
+        torch.tensor(t), torch.tensor(x0), x1_,
+    )
+    kw = dict(
+        mask=torch.tensor(i["mask"]),
+        start_frames=RefRigid(
+            RefRotation(rot_mats=torch.tensor(i["rots"])), torch.tensor(i["trans"])
+        ),
+        x_cond=torch.tensor(i["x_cond"]),
+        x_cond_mask=torch.tensor(i["x_cond_mask"]),
+        aatype=torch.tensor(i["aatype"]),
+    )
+    with torch.no_grad():
+        terms = ref_transport.training_losses(
+            ref, torch.tensor(x1), mask=torch.tensor(loss_mask), model_kwargs=kw
+        )
+    ref_loss = terms["loss"].numpy()
+
+    transport = create_transport(TransportConfig(path_type="GVP"))
+    xt, ut = transport.plan.interpolate(jnp.asarray(t), jnp.asarray(x0), jnp.asarray(x1))
+    jkw = dict(
+        mask=jnp.asarray(i["mask"]),
+        start_frames=Rigid(jnp.asarray(i["rots"]), jnp.asarray(i["trans"])),
+        x_cond=jnp.asarray(i["x_cond"]),
+        x_cond_mask=jnp.asarray(i["x_cond_mask"]),
+        aatype=jnp.asarray(i["aatype"]),
+    )
+    with jax.default_matmul_precision("highest"):
+        pred = ours.apply({"params": params}, xt, jnp.asarray(t), **jkw)
+        our_loss = mean_flat((pred - ut) ** 2, jnp.asarray(loss_mask))
+    np.testing.assert_allclose(ref_loss, np.asarray(our_loss), rtol=2e-4, atol=2e-5)

@@ -5,10 +5,12 @@ Same on-disk contract as the reference (reference `mdgen/dataset.py:8-100`):
 split CSVs with ``name,seqres`` columns, ATLAS replicas ``_R1..3``, the full
 set of overfit/debug flags, and ATLAS-mode random crop / pad to ``crop``.
 
-TPU-first difference: items are RAW atom14 windows (fp16) + sequence + mask.
-Tokenization (frames/torsions) runs on-device inside the jitted train step
-(``runtime.wrapper.tokenize_atom14``), so the host does no per-item math and
-ships half the bytes.
+TPU-first difference: items are RAW atom14 windows (float32) + sequence +
+mask. Tokenization (frames/torsions) runs on-device inside the jitted train
+step (``runtime.wrapper.tokenize_atom14``), so the host does no per-item
+math. In ATLAS mode, items carry one extra left-context residue column
+(width ``crop + 1``) that the tokenizer consumes for the first residue's
+phi/omega and then drops.
 """
 from __future__ import annotations
 
@@ -19,6 +21,16 @@ import pandas as pd
 
 from ..config import MDGenConfig
 from ..geometry import constants as rc
+
+
+def _prepend_ctx_pad(cfg, atom14, seqres_idx, mask):
+    """Prepend an all-zero, mask-0 left-context column (chain start)."""
+    atom14 = np.concatenate(
+        [np.zeros((cfg.num_frames, 1, 14, 3), atom14.dtype), atom14], axis=1
+    )
+    seqres_idx = np.concatenate([np.zeros(1, seqres_idx.dtype), seqres_idx])
+    mask = np.concatenate([np.zeros(1, np.float32), mask])
+    return atom14, seqres_idx, mask
 
 
 class MDGenDataset:
@@ -59,11 +71,17 @@ class MDGenDataset:
         if cfg.frame_interval:
             arr = arr[:: cfg.frame_interval]
 
-        frame_start = self.rng.integers(0, arr.shape[0] - cfg.num_frames)
+        # trajectories of exactly num_frames are allowed (window start 0);
+        # matches reference `mdgen/dataset.py:40` intent without its crash
+        span = arr.shape[0] - cfg.num_frames
+        frame_start = self.rng.integers(0, span) if span > 0 else 0
         if cfg.overfit_frame:
             frame_start = 0
+        # ship float32: the on-disk contract is already fp16 (so this is an
+        # exact widening for reference-prepped data), and float32 .npy inputs
+        # must not pick up quantization noise the reference pipeline lacks
         atom14 = np.array(
-            arr[frame_start : frame_start + cfg.num_frames], dtype=np.float16
+            arr[frame_start : frame_start + cfg.num_frames], dtype=np.float32
         )
         if cfg.copy_frames:
             atom14[1:] = atom14[0]
@@ -73,19 +91,38 @@ class MDGenDataset:
         mask = np.ones(L, dtype=np.float32)
 
         if cfg.atlas:
+            # Random-crop or pad to ``crop``, PLUS one residue of left
+            # context (prepended column, dropped after on-device
+            # tokenization): the reference tokenizes the full chain before
+            # cropping (reference `mdgen/dataset.py:50-89`), so the first
+            # cropped residue keeps its phi/omega supervision — which need
+            # the previous residue's atoms. Items are [crop + 1] wide;
+            # column 0 has mask 0 when no real context exists (chain start).
             if L > cfg.crop:
                 start = self.rng.integers(0, L - cfg.crop + 1)
-                atom14 = atom14[:, start : start + cfg.crop]
-                seqres_idx = seqres_idx[start : start + cfg.crop]
-                mask = mask[start : start + cfg.crop]
-            elif L < cfg.crop:
-                pad = cfg.crop - L
-                atom14 = np.concatenate(
-                    [atom14, np.zeros((cfg.num_frames, pad, 14, 3), np.float16)],
-                    axis=1,
+                lo = max(start - 1, 0)
+                atom14 = atom14[:, lo : start + cfg.crop]
+                seqres_idx = seqres_idx[lo : start + cfg.crop]
+                mask = mask[lo : start + cfg.crop].copy()
+                if start == 0:  # no left context: prepend a masked column
+                    atom14, seqres_idx, mask = _prepend_ctx_pad(
+                        cfg, atom14, seqres_idx, mask
+                    )
+            else:
+                if L < cfg.crop:
+                    pad = cfg.crop - L
+                    atom14 = np.concatenate(
+                        [atom14, np.zeros((cfg.num_frames, pad, 14, 3),
+                                          atom14.dtype)],
+                        axis=1,
+                    )
+                    seqres_idx = np.concatenate(
+                        [seqres_idx, np.zeros(pad, seqres_idx.dtype)]
+                    )
+                    mask = np.concatenate([mask, np.zeros(pad, np.float32)])
+                atom14, seqres_idx, mask = _prepend_ctx_pad(
+                    cfg, atom14, seqres_idx, mask
                 )
-                seqres_idx = np.concatenate([seqres_idx, np.zeros(pad, np.int32)])
-                mask = np.concatenate([mask, np.zeros(pad, np.float32)])
 
         return {
             "name": full_name,

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import xavier, zeros_init
@@ -85,6 +86,10 @@ class RoPEAttention(nn.Module):
     add_bias_kv: bool = True
     impl: str = "auto"
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
+    # dropout on attention probabilities, the reference's placement
+    # (`mdgen/model/mha.py:383-388`); active only when a "dropout" rng is
+    # provided to apply() — inference/eval calls stay deterministic
+    dropout_rate: float = 0.0
 
     @nn.compact
     def __call__(
@@ -168,11 +173,14 @@ class RoPEAttention(nn.Module):
             q = rope(q, full=False)
             k = rope(k, full=True)
 
+        dropout_on = self.dropout_rate > 0.0 and self.has_rng("dropout")
         impl = self.impl
         if impl == "auto":
             impl = "dense" if S_k <= 512 else "chunked"
         elif impl == "flash" and S_k <= 512:
             impl = "dense"  # dense wins below the logit-memory crossover
+        if dropout_on:
+            impl = "dense"  # prob-dropout needs materialized attention
 
         if impl == "dense":
             if axis == 2:
@@ -189,6 +197,12 @@ class RoPEAttention(nn.Module):
                 neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
                 logits = jnp.where(key_mask > 0, logits.astype(jnp.float32), neg)
             probs = nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+            if dropout_on:
+                keep = 1.0 - self.dropout_rate
+                dmask = jax.random.bernoulli(
+                    self.make_rng("dropout"), keep, probs.shape
+                )
+                probs = probs * dmask.astype(probs.dtype) / keep
             if axis == 2:
                 out = jnp.einsum("bthqk,btkhd->btqhd", probs, v)
             else:

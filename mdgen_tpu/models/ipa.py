@@ -37,6 +37,9 @@ class InvariantPointAttention(nn.Module):
     inf: float = 1e5
     eps: float = 1e-8
     zero_init_out: bool = False
+    # dropout on attention probabilities (reference `mdgen/model/ipa.py:205`);
+    # active only when a "dropout" rng is provided to apply()
+    dropout_rate: float = 0.0
     # compute dtype for the scalar path; the 3D point path stays f32 (frame
     # distances are numerically sensitive)
     dtype: Optional[jnp.dtype] = None
@@ -102,6 +105,12 @@ class InvariantPointAttention(nn.Module):
             a = a + (self.inf * (m2 - 1.0))[..., None, :, :]
 
         a = nn.softmax(a.astype(jnp.float32), axis=-1).astype(s.dtype)
+        if self.dropout_rate > 0.0 and self.has_rng("dropout"):
+            import jax
+
+            keep = 1.0 - self.dropout_rate
+            dmask = jax.random.bernoulli(self.make_rng("dropout"), keep, a.shape)
+            a = a * dmask.astype(a.dtype) / keep
 
         # scalar output
         o = jnp.einsum("...hqk,...khc->...qhc", a, v).reshape(*s.shape[:-1], H * ch)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..config import MDGenConfig
 from ..geometry.rigid import Rigid
-from ..transport.dirichlet import DirichletConditionalFlow
+from ..transport.dirichlet import DirichletConditionalFlow, simplex_proj
 from ..transport.transport import t_to_alpha
 from .attention import RoPEAttention
 from .hyena import HyenaOperator
@@ -64,6 +64,7 @@ def _ipa_args(cfg: MDGenConfig):
         no_v_points=cfg.ipa_v,
         zero_init_out=True,
         dtype=cfg.compute_dtype,
+        dropout_rate=cfg.dropout,
     )
 
 
@@ -94,7 +95,7 @@ class IPALayer(nn.Module):
             sh_l, sc_l,
         )
         h = RoPEAttention(C, cfg.mha_heads, use_rope=not cfg.no_rope,
-                          dtype=dt, name="mha_l")(h, mask)
+                          dtype=dt, dropout_rate=cfg.dropout, name="mha_l")(h, mask)
         x = residual + g_l[:, None] * h
 
         residual = x
@@ -137,7 +138,8 @@ class LatentMDGenLayer(nn.Module):
             use_bias=False, use_scale=False, epsilon=1e-6, name="mha_layer_norm"
         )
         mha_l = RoPEAttention(C, cfg.mha_heads, use_rope=not cfg.no_rope,
-                              dtype=dt, name="mha_l")
+                              dtype=dt, dropout_rate=cfg.dropout,
+                              name="mha_l")
 
         # residue-axis attention (axis 2; frames batch) — no reshape copies
         residual = x
@@ -158,6 +160,7 @@ class LatentMDGenLayer(nn.Module):
         else:
             h = RoPEAttention(C, cfg.mha_heads, use_rope=not cfg.no_rope,
                               impl=cfg.attn_impl, dtype=dt,
+                              dropout_rate=cfg.dropout,
                               name="mha_t")(h, mask, axis=1)
         x = residual + g_t[:, None] * h
 
@@ -368,6 +371,11 @@ class LatentMDGenModel(nn.Module):
         logits = latent[..., -20:]
 
         flow_probs = jax.nn.softmax(logits / cfg.dirichlet_flow_temp, axis=-1)
+        # the reference projects off-simplex flow_probs via simplex_proj
+        # (reference `mdgen/model/latent_model.py:288-294`); projection is the
+        # identity on the simplex, so apply it unconditionally (jit-friendly —
+        # no data-dependent branch)
+        flow_probs = simplex_proj(flow_probs)
         alpha, dalpha_dt = t_to_alpha(t[0], cfg.alpha_max)
         alpha = jnp.minimum(alpha, cfg.alpha_max - self.condflow.alpha_spacing)
 

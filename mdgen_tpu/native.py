@@ -37,6 +37,16 @@ def _load():
                     timeout=120,
                 )
             lib = ctypes.CDLL(_SO_PATH)
+            lib.mdgen_write_xtc.restype = ctypes.c_int64
+            lib.mdgen_write_xtc.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_float,
+                ctypes.c_char_p,
+            ]
             lib.mdgen_write_pdb_models.restype = ctypes.c_int64
             lib.mdgen_write_pdb_models.argtypes = [
                 ctypes.POINTER(ctypes.c_float),
@@ -94,3 +104,37 @@ def write_pdb_models(
     if n < 0:
         return None
     return buf.raw[:n].decode("ascii")
+
+
+def write_xtc(
+    coords_nm: np.ndarray,  # [T, N, 3] float32, nanometers
+    steps,  # [T] int32 or None
+    times,  # [T] float32 or None
+    precision: float,
+    path: str,
+) -> bool:
+    """Write an XTC trajectory via the native encoder. Returns False if the
+    native library is unavailable (callers fall back to the Python encoder)."""
+    lib = _load()
+    if lib is None:
+        return False
+    coords_nm = np.ascontiguousarray(coords_nm, dtype=np.float32)
+    T, N = coords_nm.shape[:2]
+    steps_p = None
+    times_p = None
+    if steps is not None:
+        steps = np.ascontiguousarray(steps, dtype=np.int32)
+        steps_p = steps.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    if times is not None:
+        times = np.ascontiguousarray(times, dtype=np.float32)
+        times_p = times.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    rc = lib.mdgen_write_xtc(
+        coords_nm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        T,
+        N,
+        steps_p,
+        times_p,
+        ctypes.c_float(precision),
+        path.encode(),
+    )
+    return rc == 0

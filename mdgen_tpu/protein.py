@@ -219,3 +219,33 @@ def atom14_to_pdb(atom14: np.ndarray, aatype: np.ndarray, path: str):
     prots = [create_full_prot(pos37, aatype=aatype) for pos37 in atom37]
     with open(path, "w") as fh:
         fh.write(prots_to_pdb(prots))
+
+
+def save_trajectory(atom14, aatype, pdb_path: str, xtc_path: str | None = None):
+    """Write inference outputs the way the reference scripts do.
+
+    Without ``xtc_path``: multi-MODEL PDB of all frames. With ``xtc_path``:
+    superpose every frame onto frame 0 (Kabsch over the valid atoms), write
+    the XTC (nm), and write the PDB holding ONLY frame 0 — the topology +
+    trajectory pair mdtraj/pyemma expect (reference `sim_inference.py:118-125`,
+    `tps_inference.py:135-141`).
+    """
+    from .xtc import superpose, write_xtc_angstrom
+
+    atom14 = np.asarray(atom14, np.float32)
+    aatype = np.asarray(aatype)
+    if xtc_path is None:
+        atom14_to_pdb(atom14, aatype, pdb_path)
+        return
+
+    T, L = atom14.shape[:2]
+    mask14 = rc.RESTYPE_ATOM14_MASK[aatype].astype(bool)
+    mask14 &= (np.abs(atom14).sum(-1) > 1e-7).any(0)  # drop padding residues
+    flat = atom14.reshape(T, L * 14, 3)
+    aligned = superpose(flat, mask14.reshape(-1)).reshape(T, L, 14, 3)
+
+    atom14_to_pdb(aligned[:1], aatype, pdb_path)
+    atom37 = np.asarray(atom14_to_atom37(aligned, aatype))
+    mask37 = rc.RESTYPE_ATOM37_MASK[aatype].astype(bool)
+    mask37 &= (np.abs(atom37).sum(-1) > 1e-7).any(0)
+    write_xtc_angstrom(xtc_path, atom37[:, mask37])

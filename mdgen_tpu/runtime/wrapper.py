@@ -43,16 +43,24 @@ def transport_config(cfg: MDGenConfig) -> TransportConfig:
     )
 
 
-def tokenize_atom14(batch: dict) -> dict:
+def tokenize_atom14(batch: dict, drop_left_context: bool = False) -> dict:
     """Raw atom14 windows -> (frames, torsions) tokens, on device.
 
     The reference tokenizes per-item in DataLoader worker processes
     (reference `mdgen/dataset.py:50-66`); here tokenization fuses into the
-    jitted step so the host only ships compact fp16 coordinates.
+    jitted step so the host ships only raw coordinates.
 
     batch: {atom14 [B,T,L,14,3], seqres [B,L], mask [B,L]} ->
     reference-dataset contract {torsions, torsion_mask, trans, rots, seqres,
     mask}.
+
+    ``drop_left_context``: the ATLAS dataset prepends one left-context
+    residue column so the first cropped residue keeps its phi/omega
+    supervision (the reference tokenizes the full chain before cropping,
+    `mdgen/dataset.py:50-89`). The context residue's atoms feed the torsion
+    quadruples via the prev-residue shift, then every output is sliced back
+    to the crop width. A mask-0 context column (chain start) correctly
+    invalidates the first residue's phi/omega through the atom mask.
     """
     atom14 = batch["atom14"].astype(jnp.float32)
     seqres, mask = batch["seqres"], batch["mask"]
@@ -61,7 +69,22 @@ def tokenize_atom14(batch: dict) -> dict:
 
     frames = atom14_to_frames(atom14)
     atom37 = atom14_to_atom37(atom14, aatype_btl)
-    torsions, torsion_mask = atom37_to_torsions(atom37, aatype_btl)
+    atom37_mask = None
+    if drop_left_context:
+        from ..geometry import constants as rc
+
+        atom37_mask = (
+            jnp.asarray(rc.RESTYPE_ATOM37_MASK)[aatype_btl]
+            * mask[:, None, :, None]
+        )
+    torsions, torsion_mask = atom37_to_torsions(
+        atom37, aatype_btl, all_atom_mask=atom37_mask
+    )
+    if drop_left_context:
+        torsions = torsions[:, :, 1:]
+        torsion_mask = torsion_mask[:, :, 1:]
+        frames = frames[:, :, 1:]
+        seqres, mask = seqres[:, 1:], mask[:, 1:]
 
     # identity frames + zero torsion mask on padded residues (parity with the
     # host-side padding at reference `mdgen/dataset.py:80-89`)
@@ -154,16 +177,23 @@ class MDGenRuntime:
 
     # ------------------------------------------------------------------
 
+    def _tokenize(self, batch: dict) -> dict:
+        """Raw batches tokenize on device; reference-style token dicts pass
+        through. ATLAS raw batches arrive with one left-context residue
+        column (shape-detected: L == crop + 1) that tokenization consumes
+        and drops."""
+        cfg = self.cfg
+        if "atom14" not in batch:
+            return batch
+        if cfg.no_frames:
+            return tokenize_no_frames(batch)
+        drop_ctx = cfg.atlas and batch["atom14"].shape[2] == cfg.crop + 1
+        return tokenize_atom14(batch, drop_left_context=drop_ctx)
+
     def init(self, rng: jax.Array, example_batch: dict) -> TrainState:
         """Initialize parameters (optionally sharded over the mesh)."""
         cfg = self.cfg
-        tok = example_batch
-        if "atom14" in example_batch:
-            tok = (
-                tokenize_no_frames(example_batch)
-                if cfg.no_frames
-                else tokenize_atom14(example_batch)
-            )
+        tok = self._tokenize(example_batch)
         prep = prep_batch(cfg, tok)
         B, T, L = prep.model_kwargs["mask"].shape
         x = jnp.zeros((B, T, L, cfg.latent_dim), jnp.float32)
@@ -184,19 +214,19 @@ class MDGenRuntime:
 
     # ------------------------------------------------------------------
 
-    def _loss_fn(self, params, rng, batch):
+    def _loss_fn(self, params, rng, batch, train=True):
         cfg = self.cfg
-        tok = batch
-        if "atom14" in batch:
-            tok = (
-                tokenize_no_frames(batch)
-                if cfg.no_frames
-                else tokenize_atom14(batch)
-            )
+        tok = self._tokenize(batch)
         prep = prep_batch(cfg, tok)
 
+        # dropout is train-only (the reference's eval mode disables it)
+        drop_rngs = None
+        if train and cfg.dropout > 0.0:
+            rng, k_drop = jax.random.split(rng)
+            drop_rngs = {"dropout": k_drop}
+
         def model_fn(x, t, **kw):
-            return self.model.apply({"params": params}, x, t, **kw)
+            return self.model.apply({"params": params}, x, t, rngs=drop_rngs, **kw)
 
         out = self.transport.training_losses(
             rng,
@@ -245,7 +275,7 @@ class MDGenRuntime:
         )
 
     def _val_step_impl(self, params, batch: dict, rng: jax.Array):
-        _, metrics = self._loss_fn(params, rng, batch)
+        _, metrics = self._loss_fn(params, rng, batch, train=False)
         return metrics
 
     # ------------------------------------------------------------------
@@ -254,13 +284,7 @@ class MDGenRuntime:
         """Full task inference: noise -> ODE sample -> atom14 + sequence
         (reference `mdgen/wrapper.py:405-484`)."""
         cfg = self.cfg
-        tok = batch
-        if "atom14" in batch:
-            tok = (
-                tokenize_no_frames(batch)
-                if cfg.no_frames
-                else tokenize_atom14(batch)
-            )
+        tok = self._tokenize(batch)
         prep = prep_batch(cfg, tok)
         B, T, L = prep.model_kwargs["mask"].shape
         params_c = _inference_param_cast(cfg, params)

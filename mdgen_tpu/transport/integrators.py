@@ -19,11 +19,17 @@ import jax.numpy as jnp
 
 
 def _tvec(x, t_scalar):
-    return jnp.full((x.shape[0],), t_scalar, dtype=jnp.float32)
+    batch = jax.tree_util.tree_leaves(x)[0].shape[0]
+    return jnp.full((batch,), t_scalar, dtype=jnp.float32)
+
+
+def _axpy(a, xs, ys):
+    """xs + a * ys over matching pytrees (plain arrays included)."""
+    return jax.tree_util.tree_map(lambda x, y: x + a * y, xs, ys)
 
 
 # ---------------------------------------------------------------------------
-# Fixed-grid ODE solvers
+# Fixed-grid ODE solvers (pytree states: drift must return x0's structure)
 # ---------------------------------------------------------------------------
 
 
@@ -33,8 +39,7 @@ def ode_euler(drift: Callable, x0, t0: float, t1: float, num_steps: int):
     ts = t0 + dt * jnp.arange(num_steps - 1, dtype=jnp.float32)
 
     def step(x, t):
-        x = x + drift(x, _tvec(x, t)) * dt
-        return x, None
+        return _axpy(dt, x, drift(x, _tvec(x, t))), None
 
     xf, _ = jax.lax.scan(step, x0, ts)
     return xf
@@ -47,8 +52,8 @@ def ode_heun(drift: Callable, x0, t0: float, t1: float, num_steps: int):
 
     def step(x, t):
         k1 = drift(x, _tvec(x, t))
-        k2 = drift(x + dt * k1, _tvec(x, t + dt))
-        return x + dt * 0.5 * (k1 + k2), None
+        k2 = drift(_axpy(dt, x, k1), _tvec(x, t + dt))
+        return _axpy(dt * 0.5, x, jax.tree_util.tree_map(jnp.add, k1, k2)), None
 
     xf, _ = jax.lax.scan(step, x0, ts)
     return xf
@@ -99,22 +104,50 @@ def ode_dopri5(
     reference `mdgen/transport/integrators.py:104-113`) while staying fully
     on-device. Error norm is the RMS of per-element errors scaled by
     atol + rtol * max(|x|, |x_new|).
+
+    ``x0`` may be ANY pytree (drift must return the same structure) — this
+    is what lets ``sample_ode_likelihood`` integrate the augmented
+    (x, logp) system adaptively, like torchdiffeq does for the reference
+    (`mdgen/transport/transport.py:453-511`).
     """
     span = t1 - t0
+    leaves0 = jax.tree_util.tree_leaves(x0)
+    batch = leaves0[0].shape[0]
+    n_elem = sum(l.size for l in leaves0)
+
+    def tmap(f, *trees):
+        return jax.tree_util.tree_map(f, *trees)
 
     def err_norm(err, x, x_new):
-        scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x_new))
-        return jnp.sqrt(jnp.mean((err / scale) ** 2))
+        sq = tmap(
+            lambda e, a, b: jnp.sum(
+                (e / (atol + rtol * jnp.maximum(jnp.abs(a), jnp.abs(b)))) ** 2
+            ),
+            err, x, x_new,
+        )
+        total = sum(jax.tree_util.tree_leaves(sq))
+        return jnp.sqrt(total / n_elem)
+
+    def tvec(t_scalar):
+        return jnp.full((batch,), t_scalar, dtype=jnp.float32)
 
     def rk_step(x, t, dt, f0):
         ks = [f0]
         for i, row in enumerate(_A):
-            xi = x + dt * sum(row[j] * ks[j] for j in range(len(row)))
-            ks.append(drift(xi, _tvec(x, t + dt * _C[i + 1])))
-        k = jnp.stack(ks)
-        x5 = x + dt * jnp.tensordot(_B5, k, axes=1)
-        x4 = x + dt * jnp.tensordot(_B4, k, axes=1)
-        return x5, x5 - x4, ks[-1]  # FSAL: k7 = f(x5, t+dt)
+            xi = tmap(
+                lambda xx, *kk: xx + dt * sum(row[j] * kk[j] for j in range(len(row))),
+                x, *ks[: len(row)],
+            )
+            ks.append(drift(xi, tvec(t + dt * _C[i + 1])))
+        x5 = tmap(
+            lambda xx, *kk: xx + dt * sum(_B5[j] * kk[j] for j in range(7)),
+            x, *ks,
+        )
+        x4 = tmap(
+            lambda xx, *kk: xx + dt * sum(_B4[j] * kk[j] for j in range(7)),
+            x, *ks,
+        )
+        return x5, tmap(lambda a, b: a - b, x5, x4), ks[-1]  # FSAL
 
     def cond(s: _DPState):
         return jnp.logical_and(
@@ -136,14 +169,14 @@ def ode_dopri5(
 
         return _DPState(
             t=jnp.where(accept, s.t + dt, s.t),
-            x=jnp.where(accept, x_new, s.x),
-            f0=jnp.where(accept, f_new, s.f0),
+            x=tmap(lambda a, b: jnp.where(accept, a, b), x_new, s.x),
+            f0=tmap(lambda a, b: jnp.where(accept, a, b), f_new, s.f0),
             dt=dt_next,
             err_prev=jnp.where(accept, en, s.err_prev),
             n_steps=s.n_steps + 1,
         )
 
-    f0 = drift(x0, _tvec(x0, t0))
+    f0 = drift(x0, tvec(t0))
     init = _DPState(
         t=jnp.asarray(t0, jnp.float32),
         x=x0,
@@ -171,9 +204,10 @@ def sde_euler_maruyama(
     num_steps: int,
 ):
     """Euler-Maruyama over a linspace grid (reference
-    `mdgen/transport/integrators.py:32-40` semantics: the final step is left
-    to the caller's last-step function)."""
-    dt = (t1 - t0) / num_steps
+    `mdgen/transport/integrators.py:32-40` semantics: linspace grid, so
+    dt = span/(num_steps-1) and the rollout lands exactly on t1; the final
+    correction is left to the caller's last-step function)."""
+    dt = (t1 - t0) / (num_steps - 1)
     ts = t0 + dt * jnp.arange(num_steps - 1, dtype=jnp.float32)
 
     def step(carry, t):
@@ -198,8 +232,9 @@ def sde_heun(
     t1: float,
     num_steps: int,
 ):
-    """Stochastic Heun corrector (reference `integrators.py:42-61` semantics)."""
-    dt = (t1 - t0) / num_steps
+    """Stochastic Heun corrector (reference `integrators.py:42-61` semantics:
+    same linspace grid as Euler-Maruyama)."""
+    dt = (t1 - t0) / (num_steps - 1)
     ts = t0 + dt * jnp.arange(num_steps - 1, dtype=jnp.float32)
 
     def step(carry, t):

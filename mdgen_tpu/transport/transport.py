@@ -329,11 +329,15 @@ class Sampler:
         self,
         model_fn: Callable,
         *,
-        sampling_method: str = "euler",
+        sampling_method: str = "dopri5",
         num_steps: int = 50,
+        atol: float = 1e-6,
+        rtol: float = 1e-3,
     ) -> Callable:
-        """Hutchinson log-likelihood estimator; integrates (x, logp) jointly
-        data -> noise (reference `mdgen/transport/transport.py:453-511`),
+        """Hutchinson log-likelihood estimator; integrates the augmented
+        (x, logp) system jointly data -> noise with the configured solver —
+        adaptive dopri5 (the reference's torchdiffeq default,
+        `mdgen/transport/transport.py:453-511`) or fixed-step euler/heun —
         using a JVP instead of torch autograd."""
         transport = self.transport
         drift = transport.drift_fn(model_fn)
@@ -350,21 +354,23 @@ class Sampler:
                 rev_t = jnp.ones_like(t) * (1 - t)
                 f = lambda xx: drift(xx, rev_t, **model_kwargs)
                 fx, jvp = jax.jvp(f, (x,), (eps,))
-                div = jnp.sum(
-                    jvp * eps, axis=tuple(range(1, x.ndim))
-                )
+                div = jnp.sum(jvp * eps, axis=tuple(range(1, x.ndim)))
                 return (-fx, div)
 
             init = (x_data, jnp.zeros((x_data.shape[0],), x_data.dtype))
-            # manual euler over the augmented state
-            dt = (t1 - t0) / (num_steps - 1)
-
-            def step(state, t):
-                d = aug_drift(state, jnp.full((x_data.shape[0],), t))
-                return (state[0] + d[0] * dt, state[1] + d[1] * dt), None
-
-            ts = t0 + dt * jnp.arange(num_steps - 1, dtype=jnp.float32)
-            (z, delta_logp), _ = jax.lax.scan(step, init, ts)
+            if sampling_method == "dopri5":
+                z, delta_logp = integrators.ode_dopri5(
+                    aug_drift, init, t0, t1, rtol=rtol, atol=atol
+                )
+            elif sampling_method in ("euler", "heun"):
+                fn = (
+                    integrators.ode_euler
+                    if sampling_method == "euler"
+                    else integrators.ode_heun
+                )
+                z, delta_logp = fn(aug_drift, init, t0, t1, num_steps)
+            else:
+                raise NotImplementedError(sampling_method)
             dims = z[0].size
             prior_logp = -0.5 * dims * jnp.log(2 * jnp.pi) - 0.5 * jnp.sum(
                 z**2, axis=tuple(range(1, z.ndim))

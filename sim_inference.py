@@ -29,6 +29,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=137)
     p.add_argument("--batch_size", type=int, default=1,
                    help="peptides sampled per device batch")
+    p.add_argument("--xtc", action="store_true",
+                   help="superpose to frame 0 and write XTC + frame-0 PDB "
+                        "(reference sim_inference.py:121-125)")
     return p.parse_args()
 
 
@@ -37,7 +40,7 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
 
     from mdgen_tpu.geometry import constants as rc
-    from mdgen_tpu.protein import atom14_to_pdb
+    from mdgen_tpu.protein import save_trajectory
     from mdgen_tpu.runtime import MDGenRuntime, checkpoint
 
     cfg = checkpoint.load_config(args.sim_ckpt)
@@ -93,8 +96,12 @@ def main():
                 f"({frames/dur:.1f} frames/s)"
             )
             for j, name in enumerate(chunk):
-                atom14_to_pdb(traj[j], seqres[j],
-                              os.path.join(args.out_dir, f"{name}.pdb"))
+                save_trajectory(
+                    traj[j], seqres[j],
+                    os.path.join(args.out_dir, f"{name}.pdb"),
+                    xtc_path=(os.path.join(args.out_dir, f"{name}.xtc")
+                              if args.xtc else None),
+                )
 
 
 if __name__ == "__main__":

@@ -35,9 +35,23 @@ def test_window_sampling_and_contract(data_dir):
     assert len(ds) == 2
     item = ds[0]
     assert item["atom14"].shape == (16, 4, 14, 3)
-    assert item["atom14"].dtype == np.float16
+    assert item["atom14"].dtype == np.float32
     assert item["seqres"].shape == (4,)
     assert item["mask"].sum() == 4
+
+
+def test_window_exact_length(tmp_path):
+    """A trajectory with exactly num_frames frames is a valid window
+    (start 0); reference `mdgen/dataset.py:40` crashes on this edge."""
+    from mdgen_tpu.data import write_synthetic_dataset
+
+    d = str(tmp_path / "exact")
+    write_synthetic_dataset(d, [("ACDE", "ACDE")], num_frames=16, seed=2)
+    cfg = MDGenConfig(num_frames=16, crop=4)
+    ds = MDGenDataset(cfg, f"{d}/split.csv", d)
+    item = ds[0]
+    assert item["frame_start"] == 0
+    assert item["atom14"].shape == (16, 4, 14, 3)
 
 
 def test_overfit_flags(data_dir):
@@ -61,23 +75,88 @@ def test_overfit_peptide(data_dir):
 
 
 def test_atlas_pad(data_dir):
-    # L=10 < crop=16: identity-pad with zero mask
+    # L=10 < crop=16: identity-pad with zero mask; +1 left-context column
+    # (mask 0: the chain starts at the window)
     cfg = MDGenConfig(num_frames=8, crop=16, atlas=True)
     ds = MDGenDataset(cfg, f"{data_dir}/atlas_split.csv", data_dir)
     item = ds[0]
     assert item["name"].startswith("pep1_R")
-    assert item["atom14"].shape == (8, 16, 14, 3)
-    assert item["mask"][:10].all() and not item["mask"][10:].any()
-    assert (item["seqres"][10:] == 0).all()
+    assert item["atom14"].shape == (8, 17, 14, 3)
+    assert item["mask"][0] == 0 and (item["atom14"][:, 0] == 0).all()
+    assert item["mask"][1:11].all() and not item["mask"][11:].any()
+    assert (item["seqres"][11:] == 0).all()
 
 
 def test_atlas_crop(data_dir):
-    # L=10 > crop=6: random contiguous crop
+    # L=10 > crop=6: random contiguous crop + 1 left-context column whose
+    # mask says whether a real previous residue exists
     cfg = MDGenConfig(num_frames=8, crop=6, atlas=True)
     ds = MDGenDataset(cfg, f"{data_dir}/atlas_split.csv", data_dir)
-    item = ds[0]
-    assert item["atom14"].shape == (8, 6, 14, 3)
-    assert item["mask"].sum() == 6
+    seen_ctx = set()
+    for i in range(20):
+        item = ds[0]
+        assert item["atom14"].shape == (8, 7, 14, 3)
+        assert item["mask"][1:].sum() == 6
+        ctx_real = bool(item["mask"][0])
+        seen_ctx.add(ctx_real)
+        if ctx_real:
+            assert (item["atom14"][:, 0] != 0).any()
+        else:  # crop started at the chain start
+            assert (item["atom14"][:, 0] == 0).all()
+    assert seen_ctx == {True, False}  # both cases sampled over 20 draws
+
+
+def test_atlas_context_preserves_first_residue_phi(data_dir):
+    """The left-context column restores phi/omega supervision for the first
+    cropped residue: tokenizing the context-carrying window must match
+    tokenizing the full chain then cropping (the reference's order,
+    `mdgen/dataset.py:50-89`)."""
+    import jax.numpy as jnp
+
+    from mdgen_tpu.geometry import atom14_to_atom37, atom37_to_torsions
+    from mdgen_tpu.runtime import tokenize_atom14
+
+    cfg = MDGenConfig(num_frames=4, crop=6, atlas=True)
+    ds = MDGenDataset(cfg, f"{data_dir}/atlas_split.csv", data_dir)
+    # find a crop with real context
+    for _ in range(50):
+        item = ds[0]
+        if item["mask"][0] == 1:
+            break
+    assert item["mask"][0] == 1
+
+    batch = {
+        "atom14": jnp.asarray(item["atom14"][None]),
+        "seqres": jnp.asarray(item["seqres"][None]),
+        "mask": jnp.asarray(item["mask"][None]),
+    }
+    tok = tokenize_atom14(batch, drop_left_context=True)
+    assert tok["torsions"].shape[2] == 6
+    # first cropped residue keeps phi (index 1) + omega (index 0) supervision
+    assert tok["torsion_mask"][0, 0, 0] == 1  # omega
+    assert tok["torsion_mask"][0, 0, 1] == 1  # phi
+
+    # and the values match full-chain tokenization
+    full = np.asarray(
+        np.lib.format.open_memmap(f"{data_dir}/{item['name']}.npy", "r"),
+        np.float32,
+    )[item["frame_start"] : item["frame_start"] + 4]
+    from mdgen_tpu.geometry import constants as rc
+
+    aatype = rc.str_sequence_to_aatype("ACDEFGHIKL")
+    aatype_tl = np.broadcast_to(aatype, (4, 10))
+    atom37 = atom14_to_atom37(jnp.asarray(full), jnp.asarray(aatype_tl))
+    tors_full, mask_full = atom37_to_torsions(atom37, jnp.asarray(aatype_tl))
+    # locate the crop within the chain via sequence match
+    seq_crop = np.asarray(item["seqres"][1:])
+    for s in range(10 - 6 + 1):
+        if (aatype[s : s + 6] == seq_crop).all():
+            break
+    np.testing.assert_allclose(
+        np.asarray(tok["torsions"][0]),
+        np.asarray(tors_full[:, s : s + 6]),
+        atol=1e-4,
+    )
 
 
 def test_frame_interval(data_dir):

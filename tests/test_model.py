@@ -123,3 +123,47 @@ def test_padding_mask_invariance(rng):
     np.testing.assert_allclose(
         np.asarray(out1)[:, :, :4], np.asarray(out2)[:, :, :4], atol=2e-3
     )
+
+
+def test_dropout_train_stochastic_eval_deterministic(rng):
+    """cfg.dropout must be honored: different dropout rngs change the output
+    (training path), no rng means deterministic (eval/inference path), and
+    rate 0.0 is unaffected (reference default; `mdgen/model/mha.py:96-100`)."""
+    cfg = tiny_cfg(dropout=0.3)
+    model = LatentMDGenModel(cfg, cfg.latent_dim)
+    batch = make_batch(rng, cfg)
+    prep = prep_batch(cfg, batch)
+    x = jnp.asarray(
+        rng.normal(size=(2, cfg.num_frames, cfg.crop, cfg.latent_dim)).astype(
+            np.float32
+        )
+    )
+    t = jnp.full((2,), 0.4)
+    params = model.init(jax.random.PRNGKey(0), x, t, **prep.model_kwargs)
+    # adaLN-zero makes the init output exactly 0; randomize params so the
+    # dropout path is visible in the output
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    params = jax.tree_util.tree_unflatten(
+        treedef,
+        [l + 0.1 * jax.random.normal(k, l.shape) for l, k in zip(leaves, keys)],
+    )
+
+    o1 = model.apply(params, x, t, rngs={"dropout": jax.random.PRNGKey(1)},
+                     **prep.model_kwargs)
+    o2 = model.apply(params, x, t, rngs={"dropout": jax.random.PRNGKey(2)},
+                     **prep.model_kwargs)
+    assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-4
+
+    # no dropout rng -> deterministic
+    e1 = model.apply(params, x, t, **prep.model_kwargs)
+    e2 = model.apply(params, x, t, **prep.model_kwargs)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+    # rate 0: rng presence must not change the function
+    cfg0 = tiny_cfg(dropout=0.0)
+    model0 = LatentMDGenModel(cfg0, cfg0.latent_dim)
+    z1 = model0.apply(params, x, t, rngs={"dropout": jax.random.PRNGKey(1)},
+                      **prep.model_kwargs)
+    z2 = model0.apply(params, x, t, **prep.model_kwargs)
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))

@@ -30,6 +30,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=137)
     p.add_argument("--tica_lag", type=int, default=1000)
     p.add_argument("--msm_lag", type=int, default=1000)
+    p.add_argument("--xtc", action="store_true",
+                   help="superpose each path to its frame 0 and write XTC + "
+                        "frame-0 PDB (reference tps_inference.py:135-141)")
     return p.parse_args()
 
 
@@ -41,7 +44,7 @@ def main():
 
     from mdgen_tpu.analysis.reference_msm import load_or_build_msm, lowest_flux_states
     from mdgen_tpu.geometry import constants as rc
-    from mdgen_tpu.protein import atom14_to_pdb
+    from mdgen_tpu.protein import save_trajectory
     from mdgen_tpu.runtime import MDGenRuntime, checkpoint
 
     cfg = checkpoint.load_config(args.sim_ckpt)
@@ -102,7 +105,11 @@ def main():
             for j in range(B):
                 idx = i * B + j
                 path = os.path.join(args.out_dir, f"{name}_{idx}.pdb")
-                atom14_to_pdb(atom14s[j], aatype, path)
+                save_trajectory(
+                    atom14s[j], aatype, path,
+                    xtc_path=(os.path.join(args.out_dir, f"{name}_{idx}.xtc")
+                              if args.xtc else None),
+                )
                 metadata.append({
                     "name": str(name),
                     "start_idx": int(si[j]),

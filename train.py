@@ -96,7 +96,15 @@ def main():
     start_epoch = 0
     if args.ckpt:
         state, step = checkpoint.load_checkpoint(args.ckpt, state)
-        log.info(f"restored checkpoint at step {step}")
+        # resume the epoch schedule (the reference resumes via Lightning's
+        # ckpt_path, `train.py:77`); epochs are derived from the restored
+        # step so the checkpoint needs no extra field
+        steps_per_epoch = max(len(train_loader), 1)
+        start_epoch = step // steps_per_epoch
+        log.info(
+            f"restored checkpoint at step {step} "
+            f"(resuming at epoch {start_epoch})"
+        )
 
     check_grad_pending = args.check_grad
 
@@ -133,7 +141,7 @@ def main():
                 )
                 path = os.path.join(model_dir, f"epoch{epoch}_{names[0]}.pdb")
                 atom14_to_pdb(np.asarray(atom14[0]), seq[0], path)
-        logger.flush("val", epoch=epoch, step=int(state.step))
+        logger.flush("val", epoch=epoch, step=int(state.step), save=True)
 
     if args.validate:
         run_validation(0)
@@ -174,7 +182,7 @@ def main():
             if args.val_freq and int(state.step) % args.val_freq == 0:
                 run_validation(epoch)
 
-        logger.flush("train", epoch=epoch, step=int(state.step))
+        logger.flush("train", epoch=epoch, step=int(state.step), save=True)
         if not args.no_validate and (epoch + 1) % args.val_epoch_freq == 0:
             run_validation(epoch)
         if (epoch + 1) % args.ckpt_freq == 0:

@@ -21,6 +21,9 @@ def parse_args():
     p.add_argument("--out_dir", type=str, default=".")
     p.add_argument("--split", type=str, default="splits/4AA_implicit_test.csv")
     p.add_argument("--seed", type=int, default=137)
+    p.add_argument("--xtc", action="store_true",
+                   help="superpose to frame 0 and write XTC + frame-0 PDB "
+                        "(reference upsampling_inference.py:85-89)")
     return p.parse_args()
 
 
@@ -32,7 +35,7 @@ def main():
     import jax.numpy as jnp
 
     from mdgen_tpu.geometry import constants as rc
-    from mdgen_tpu.protein import atom14_to_pdb
+    from mdgen_tpu.protein import save_trajectory
     from mdgen_tpu.runtime import MDGenRuntime, checkpoint, tokenize_atom14
 
     cfg = checkpoint.load_config(args.ckpt)
@@ -89,7 +92,11 @@ def main():
 
         traj = np.concatenate(all_atom14, axis=0)
         path = os.path.join(args.out_dir, f"{name}.pdb")
-        atom14_to_pdb(traj, aatype, path)
+        save_trajectory(
+            traj, aatype, path,
+            xtc_path=(os.path.join(args.out_dir, f"{name}.xtc")
+                      if args.xtc else None),
+        )
         print(f"{name}: wrote {len(traj)} frames to {path}")
 
 

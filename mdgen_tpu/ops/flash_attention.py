@@ -33,7 +33,9 @@ _NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int):
     """One (batch*head, q_block) program: stream K/V blocks with online
-    softmax. Ref block shapes: q/o [1, Tq, d], k/v [1, Tk, d], bias [1, Tk]."""
+    softmax. Ref block shapes: q/o [1, Tq, d], k/v [1, Tk, d],
+    bias [1, 1, Tk] (kept 3D: Mosaic requires the trailing two block dims be
+    (8, 128)-tiled or equal to the array dims)."""
     q = q_ref[0, :, :].astype(jnp.float32)
     Tq, d = q.shape
     Tk = k_ref.shape[1]
@@ -46,7 +48,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k: int):
         m, l, acc = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
         v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        b = bias_ref[0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        b = bias_ref[0, 0, pl.ds(i * block_k, block_k)].astype(jnp.float32)
 
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -112,7 +114,7 @@ def _flash_attention_tpu(
     qp = _pad_to(q, Tq_p, 1)
     kp = _pad_to(k, Tk_p, 1)
     vp = _pad_to(v, Tk_p, 1)
-    bp = _pad_to(bias, Tk_p, 1, value=_NEG_INF)
+    bp = _pad_to(bias, Tk_p, 1, value=_NEG_INF)[:, None, :]  # [N, 1, Tk_p]
 
     grid = (N, Tq_p // bq)
     out = pl.pallas_call(
@@ -122,7 +124,7 @@ def _flash_attention_tpu(
             pl.BlockSpec((1, bq, d), lambda n, i: (n, i, 0)),
             pl.BlockSpec((1, Tk_p, d), lambda n, i: (n, 0, 0)),
             pl.BlockSpec((1, Tk_p, d), lambda n, i: (n, 0, 0)),
-            pl.BlockSpec((1, Tk_p), lambda n, i: (n, 0)),
+            pl.BlockSpec((1, 1, Tk_p), lambda n, i: (n, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda n, i: (n, i, 0)),
         out_shape=jax.ShapeDtypeStruct((N, Tq_p, d), q.dtype),

@@ -11,17 +11,23 @@ import os
 # the platform from env at import. Two processes sharing the single TPU
 # tunnel deadlock, so tests must never touch the TPU: override both env vars
 # AND the live jax config (config.update works any time before backend init).
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+#
+# Exception: MDGEN_TPU_TESTS=1 opts in to the real chip for the TPU-gated
+# tests (tests/test_flash_tpu.py). Run those alone, never concurrently with
+# another TPU process.
+if os.environ.get("MDGEN_TPU_TESTS") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("MDGEN_TPU_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

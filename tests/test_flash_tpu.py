@@ -43,7 +43,9 @@ def test_flash_kernel_matches_dense(T, dtype):
     out = _flash_attention_tpu(q, k, v, bias)
     ref = _dense_reference(q, k, v, bias)
     chk = chunked_attention(q, k, v, bias)
-    atol = 2e-5 if dtype == jnp.float32 else 2e-2
+    # this JAX build's MXU matmuls default to bf16 even for f32 inputs, on
+    # both sides of the comparison -> agreement is bf16-scale, not f32-scale
+    atol = 5e-4 if dtype == jnp.float32 else 2e-2
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=atol
     )
@@ -67,6 +69,8 @@ def test_flash_engages_in_model_at_long_T():
     params = flash.init(jax.random.PRNGKey(0), x, mask, axis=1)
     out_f = flash.apply(params, x, mask, axis=1)
     out_d = dense.apply(params, x, mask, axis=1)
+    # bf16-default MXU matmuls on both paths + an out_proj reduction:
+    # agreement is ~3e-3; a real masking/indexing bug would be O(1)
     np.testing.assert_allclose(
-        np.asarray(out_f), np.asarray(out_d), atol=2e-4
+        np.asarray(out_f), np.asarray(out_d), atol=5e-3
     )

@@ -101,6 +101,7 @@ class MDGenConfig:
     # -- parallelism -------------------------------------------------------
     dp_size: int = -1  # -1: all devices on the data axis
     tp_size: int = 1  # tensor-parallel (embed/FFN sharding) axis size
+    sp_size: int = 1  # sequence-parallel (frame-axis activation sharding)
 
     # ------------------------------------------------------------------
     @property
@@ -208,6 +209,7 @@ def add_model_args(parser):
     g = parser.add_argument_group("parallelism")
     g.add_argument("--dp_size", type=int, default=-1)
     g.add_argument("--tp_size", type=int, default=1)
+    g.add_argument("--sp_size", type=int, default=1)
     return parser
 
 

@@ -18,7 +18,16 @@ _STACK_KEYS = ("atom14", "seqres", "mask")
 class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0, prefetch: int = 2,
-                 max_batches=None):
+                 max_batches=None, num_shards: int = 1, shard_id: int = 0):
+        """``batch_size`` is the GLOBAL batch. With num_shards > 1 (one shard
+        per jax process), every process draws the identical shuffled order
+        (same seed) and loads only its contiguous slice of each batch —
+        the multi-host counterpart of torch's DistributedSampler, aligned
+        with the dp-major device order of ``make_global_mesh``."""
+        assert batch_size % num_shards == 0, (
+            f"batch {batch_size} not divisible by {num_shards} shards"
+        )
+        assert 0 <= shard_id < num_shards
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -26,6 +35,8 @@ class Loader:
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.max_batches = max_batches
+        self.num_shards = num_shards
+        self.shard_id = shard_id
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -40,8 +51,10 @@ class Loader:
         if self.shuffle:
             self.rng.shuffle(order)
         nb = len(self)
+        per = self.batch_size // self.num_shards
         for b in range(nb):
             idxs = order[b * self.batch_size : (b + 1) * self.batch_size]
+            idxs = idxs[self.shard_id * per : (self.shard_id + 1) * per]
             items = [self.dataset[int(i)] for i in idxs]
             batch = {
                 k: np.stack([it[k] for it in items]) for k in _STACK_KEYS

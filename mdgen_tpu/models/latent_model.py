@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..config import MDGenConfig
 from ..geometry.rigid import Rigid
+from ..parallel.mesh import constrain_tokens
 from ..transport.dirichlet import DirichletConditionalFlow, simplex_proj
 from ..transport.transport import t_to_alpha
 from .attention import RoPEAttention
@@ -178,6 +179,11 @@ class LatentMDGenLayer(nn.Module):
 class LatentMDGenModel(nn.Module):
     cfg: MDGenConfig
     latent_dim: int
+    # Optional jax.sharding.Mesh with an "sp" axis: trunk activations are
+    # constrained to P("dp", "sp") at layer boundaries so XLA keeps them
+    # frame-sharded (sequence parallelism) and localizes the all-gather to
+    # the T-attention contraction. None / no "sp" axis = no-op.
+    mesh: Optional[object] = None
 
     def setup(self):
         cfg = self.cfg
@@ -327,8 +333,10 @@ class LatentMDGenModel(nn.Module):
         # one fused adaLN matmul for all trunk layers (9 chunks x n_layers)
         trunk_mods = self.trunk_adaln(nn.silu(t_emb))
         trunk_mods = jnp.split(trunk_mods, cfg.num_layers, axis=-1)
+        x = constrain_tokens(x, self.mesh)
         for layer, mod in zip(self.layers, trunk_mods):
             x = layer(x, mod, mask, start_frames)
+            x = constrain_tokens(x, self.mesh)
 
         latent = None
         if not (cfg.dynamic_mpnn or cfg.mpnn):

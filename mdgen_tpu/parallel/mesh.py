@@ -12,6 +12,17 @@ story (reference `mdgen/train.py:46-48`, `mdgen/wrapper.py:22-28`):
 At reference model scale (5 layers x 384 dim) pure DP is optimal; tp is
 exposed for ATLAS-scale (crop 256, T=250 -> 64k tokens/sample, batch 1) where
 DP alone cannot use a slice.
+
+  * ``sp`` axis: sequence parallelism over the frame axis T — activations
+    [B, T, L, C] are sharded P("dp", "sp"); the L-attention, IPA broadcast,
+    and MLP sublayers are embarrassingly parallel in T so they never
+    communicate, and XLA inserts the k/v all-gather only inside the
+    T-attention einsum. This divides activation memory by sp, the lever for
+    ATLAS-scale (T=250 x L=256) batches that do not fit one chip.
+
+Pipeline (pp) and expert (ep) axes intentionally do not exist: the flagship
+model is a 5-layer dense DiT (no MoE; depth far too shallow for pp to beat
+dp+tp+sp on a TPU slice).
 """
 from __future__ import annotations
 
@@ -23,18 +34,56 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(dp_size: int = -1, tp_size: int = 1, devices=None) -> Mesh:
-    """Build a (dp, tp) mesh. dp_size == -1 uses all remaining devices."""
+def make_mesh(dp_size: int = -1, tp_size: int = 1, sp_size: int = 1,
+              devices=None) -> Mesh:
+    """Build a (dp[, sp], tp) mesh. dp_size == -1 uses all remaining devices.
+
+    With sp_size == 1 the mesh stays 2-axis ("dp", "tp"); sp_size > 1 adds a
+    sequence-parallel axis between them (dp outermost so it can ride DCN on
+    multi-host, sp/tp innermost on ICI).
+    """
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
+    model = tp_size * sp_size
     if dp_size == -1:
-        assert n % tp_size == 0, f"{n} devices not divisible by tp={tp_size}"
-        dp_size = n // tp_size
-    assert dp_size * tp_size == n, (
-        f"mesh {dp_size}x{tp_size} != {n} devices"
+        assert n % model == 0, (
+            f"{n} devices not divisible by sp*tp={model}"
+        )
+        dp_size = n // model
+    assert dp_size * model == n, (
+        f"mesh {dp_size}x{sp_size}x{tp_size} != {n} devices"
     )
-    arr = np.asarray(devices).reshape(dp_size, tp_size)
-    return Mesh(arr, axis_names=("dp", "tp"))
+    if sp_size == 1:
+        arr = np.asarray(devices).reshape(dp_size, tp_size)
+        return Mesh(arr, axis_names=("dp", "tp"))
+    arr = np.asarray(devices).reshape(dp_size, sp_size, tp_size)
+    return Mesh(arr, axis_names=("dp", "sp", "tp"))
+
+
+def sp_size(mesh: Optional[Mesh]) -> int:
+    if mesh is None or "sp" not in mesh.axis_names:
+        return 1
+    return mesh.shape["sp"]
+
+
+def token_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for [B, T, ...] token tensors: batch over dp, frames over sp."""
+    if sp_size(mesh) > 1:
+        return NamedSharding(mesh, P("dp", "sp"))
+    return NamedSharding(mesh, P("dp"))
+
+
+def constrain_tokens(x, mesh: Optional[Mesh]):
+    """with_sharding_constraint an activation [B, T, ...] to P("dp", "sp").
+
+    No-op without an sp axis (GSPMD propagation already handles pure dp/tp).
+    Called at trunk-layer boundaries so XLA keeps activations sequence-
+    sharded through the L-attention/MLP sublayers and localizes the
+    all-gather to the T-attention contraction.
+    """
+    if sp_size(mesh) == 1:
+        return x
+    return jax.lax.with_sharding_constraint(x, token_sharding(mesh))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -89,16 +138,34 @@ def param_sharding(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
     return jax.tree_util.tree_map_with_path(map_fn, params)
 
 
+# batch keys whose axis 1 is the frame axis T (sp-shardable)
+_T_AXIS_KEYS = frozenset(
+    {"atom14", "atom37", "torsions", "torsion_mask", "trans", "rots"}
+)
+
+
 def shard_batch(mesh: Optional[Mesh], batch):
-    """Device-put a host batch with the leading axis sharded over dp."""
+    """Device-put a host batch: leading axis sharded over dp, and — when the
+    mesh has an sp axis — the frame axis of trajectory tensors over sp."""
     if mesh is None:
         return batch
     sh = batch_sharding(mesh)
+    tok = token_sharding(mesh)
     rep = replicated(mesh)
+    sp = sp_size(mesh)
 
-    def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % mesh.shape["dp"] == 0:
-            return jax.device_put(x, sh)
-        return jax.device_put(x, rep)
+    def put(key, x):
+        if not hasattr(x, "ndim"):
+            return x  # non-array metadata (e.g. names)
+        if x.ndim < 1:
+            return jax.device_put(x, rep)
+        if x.shape[0] % mesh.shape["dp"] != 0:
+            return jax.device_put(x, rep)
+        if (sp > 1 and key in _T_AXIS_KEYS and x.ndim >= 2
+                and x.shape[1] % sp == 0):
+            return jax.device_put(x, tok)
+        return jax.device_put(x, sh)
 
-    return jax.tree_util.tree_map(put, batch)
+    if isinstance(batch, dict):
+        return {k: put(k, v) for k, v in batch.items()}
+    return jax.tree_util.tree_map(lambda x: put("", x), batch)

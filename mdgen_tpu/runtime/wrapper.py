@@ -144,7 +144,7 @@ def _inference_param_cast(cfg: MDGenConfig, params):
 class MDGenRuntime:
     def __init__(self, cfg: MDGenConfig, mesh=None):
         self.cfg = cfg
-        self.model = LatentMDGenModel(cfg, cfg.latent_dim)
+        self.model = LatentMDGenModel(cfg, cfg.latent_dim, mesh=mesh)
         # Inference twin: same parameters, Pallas flash attention on the
         # frame axis (forward-only kernel; sampling never differentiates).
         inf_cfg = (
@@ -152,7 +152,7 @@ class MDGenRuntime:
             if cfg.attn_impl == "auto" and jax.default_backend() == "tpu"
             else cfg
         )
-        self.model_inf = LatentMDGenModel(inf_cfg, cfg.latent_dim)
+        self.model_inf = LatentMDGenModel(inf_cfg, cfg.latent_dim, mesh=mesh)
         self.transport = Transport(transport_config(cfg))
         self.sampler = Sampler(self.transport)
         self.mesh = mesh

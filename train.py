@@ -19,7 +19,12 @@ import numpy as np
 
 from mdgen_tpu.config import add_model_args, config_from_args
 from mdgen_tpu.data import Loader, MDGenDataset
-from mdgen_tpu.parallel import make_mesh, shard_batch
+from mdgen_tpu.parallel import (
+    global_batch_from_local,
+    init_distributed,
+    make_global_mesh,
+    shard_batch,
+)
 from mdgen_tpu.protein import atom14_to_pdb
 from mdgen_tpu.runtime import MDGenRuntime, MetricLogger, checkpoint
 
@@ -52,24 +57,45 @@ def parse_args():
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="capture a jax.profiler trace of N steps "
                              "(starting at step 10) into MODEL_DIR/trace")
+    # multi-host (DCN): on TPU pod slices all three are auto-detected, so
+    # just launching one process per host works with no flags
+    parser.add_argument("--coordinator_address", type=str, default=None)
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     add_model_args(parser)
     return parser.parse_args()
 
 
 def main():
     args = parse_args()
+    init_distributed(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
+    procs, proc_id = jax.process_count(), jax.process_index()
+
     os.environ["MODEL_DIR"] = model_dir = os.path.join("workdir", args.run_name)
     os.makedirs(model_dir, exist_ok=True)
     cfg = config_from_args(args)
 
-    logger = MetricLogger(model_dir=model_dir, use_wandb=args.wandb)
+    logger = MetricLogger(
+        model_dir=model_dir, use_wandb=args.wandb and proc_id == 0
+    )
     log = logger.logger
-    log.info(f"devices: {jax.devices()}")
+    log.info(f"devices: {jax.device_count()} ({procs} processes)")
     log.info(f"config: {cfg.to_json()}")
 
-    n_dev = len(jax.devices())
-    mesh = make_mesh(cfg.dp_size, cfg.tp_size) if n_dev > 1 else None
+    n_dev = jax.device_count()
+    mesh = (
+        make_global_mesh(cfg.dp_size, cfg.tp_size, cfg.sp_size)
+        if n_dev > 1 else None
+    )
     rt = MDGenRuntime(cfg, mesh=mesh)
+
+    def put_batch(b):
+        """Host batch -> device-sharded global batch."""
+        if procs > 1:
+            return global_batch_from_local(mesh, b)
+        return shard_batch(mesh, b)
 
     trainset = MDGenDataset(cfg, args.train_split, args.data_dir)
     if cfg.overfit:
@@ -79,17 +105,17 @@ def main():
 
     train_loader = Loader(
         trainset, cfg.batch_size, shuffle=True, seed=args.seed,
-        max_batches=args.train_batches,
+        max_batches=args.train_batches, num_shards=procs, shard_id=proc_id,
     )
     val_loader = Loader(
         valset, cfg.batch_size, shuffle=False, seed=args.seed,
-        max_batches=args.val_batches,
+        max_batches=args.val_batches, num_shards=procs, shard_id=proc_id,
     )
 
     rng = jax.random.PRNGKey(args.seed)
     example = next(iter(train_loader))
     example.pop("name", None)
-    state = rt.init(rng, shard_batch(mesh, example))
+    state = rt.init(rng, put_batch(example))
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     log.info(f"model parameters: {n_params:,}")
 
@@ -112,7 +138,7 @@ def main():
         eval_params = rt.eval_params(state)
         for batch_idx, batch in enumerate(val_loader):
             names = batch.pop("name")
-            batch = shard_batch(mesh, batch)
+            batch = put_batch(batch)
             key = jax.random.fold_in(rng, 10_000_000 + epoch * 10000 + batch_idx)
             metrics = rt.val_step(eval_params, batch, key)
             logger.log_dict({k: np.asarray(v) for k, v in metrics.items()}, "val")
@@ -125,6 +151,14 @@ def main():
                 from mdgen_tpu.geometry.constants import aatype_to_str_sequence
 
                 atom14, aa_out = rt.inference(eval_params, batch, key)
+                if procs > 1:
+                    # dp shards live on other hosts; np.asarray needs them all
+                    from jax.experimental import multihost_utils
+
+                    atom14, aa_out, seqres = multihost_utils.process_allgather(
+                        (atom14, aa_out, batch["seqres"]), tiled=True
+                    )
+                    batch = dict(batch, seqres=seqres)
                 seq = np.asarray(batch["seqres"])
                 rec = np.asarray(aa_out) == seq[:, None, :]
                 logger.log("design_aa_recovery", float(rec[:, :, 1:-1].mean()), "val")
@@ -151,7 +185,7 @@ def main():
     for epoch in range(start_epoch, cfg.epochs):
         for batch in train_loader:
             batch.pop("name", None)
-            batch = shard_batch(mesh, batch)
+            batch = put_batch(batch)
             key = jax.random.fold_in(rng, int(state.step))
             t0 = time.time()
             step_now = int(state.step)

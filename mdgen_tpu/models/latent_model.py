@@ -94,7 +94,7 @@ class IPALayer(nn.Module):
             nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                          name="mha_layer_norm")(x),
             sh_l, sc_l,
-        )
+        ).astype(dt)
         h = RoPEAttention(C, cfg.mha_heads, use_rope=not cfg.no_rope,
                           dtype=dt, dropout_rate=cfg.dropout, name="mha_l")(h, mask)
         x = residual + g_l[:, None] * h
@@ -104,7 +104,7 @@ class IPALayer(nn.Module):
             nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                          name="final_layer_norm")(x),
             sh_m, sc_m,
-        )
+        ).astype(dt)
         h = _dense(C, "fc2", dtype=dt)(gelu(_dense(4 * C, "fc1", dtype=dt)(h)))
         return residual + g_m[:, None] * h
 
@@ -142,15 +142,18 @@ class LatentMDGenLayer(nn.Module):
                               dtype=dt, dropout_rate=cfg.dropout,
                               name="mha_l")
 
-        # residue-axis attention (axis 2; frames batch) — no reshape copies
+        # residue-axis attention (axis 2; frames batch) — no reshape copies.
+        # modulate outputs materialize in the compute dtype: the consumer
+        # matmuls cast anyway, and a bf16 store halves the HBM traffic of the
+        # LN+modulate fusion (measured 13% of the sampling step at f32)
         residual = x
-        h = modulate(mha_norm(x), sh_l, sc_l)
+        h = modulate(mha_norm(x), sh_l, sc_l).astype(dt)
         h = mha_l(h, mask, axis=2)
         x = residual + g_l[:, None] * h
 
         # frame-axis attention (axis 1; residues batch) or Hyena
         residual = x
-        h = modulate(mha_norm(x), sh_t, sc_t)
+        h = modulate(mha_norm(x), sh_t, sc_t).astype(dt)
         if cfg.hyena:
             h_t = jnp.swapaxes(h, 1, 2).reshape(B * L, T, C)
             h_t = HyenaOperator(
@@ -171,7 +174,7 @@ class LatentMDGenLayer(nn.Module):
             nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
                          name="final_layer_norm")(x),
             sh_m, sc_m,
-        )
+        ).astype(dt)
         h = _dense(C, "fc2", dtype=dt)(gelu(_dense(4 * C, "fc1", dtype=dt)(h)))
         return residual + g_m[:, None] * h
 

@@ -167,10 +167,13 @@ def bench_atlas(args):
         "ms_per_denoiser_step": round(dt / cfg.inference_steps * 1e3, 2),
     }))
 
+    # the train step donates its input state; chain it through reps
+    st = [state]
+
     def train():
-        s, m = rt.train_step(state, batch, jax.random.PRNGKey(2))
+        s, m = rt.train_step(st[0], batch, jax.random.PRNGKey(2))
         jax.block_until_ready(m["loss"])
-        return s
+        st[0] = s
 
     dt = _time(train, reps=3)
     print(json.dumps({"bench": "atlas_train", "ms_per_step": round(dt * 1e3, 1)}))
@@ -186,9 +189,12 @@ def bench_train4aa(args):
     batch = _batch(cfg, args.train_batch)
     state = rt.init(jax.random.PRNGKey(0), batch)
 
+    st = [state]  # donated input state: chain it through reps
+
     def train():
-        s, m = rt.train_step(state, batch, jax.random.PRNGKey(2))
+        s, m = rt.train_step(st[0], batch, jax.random.PRNGKey(2))
         jax.block_until_ready(m["loss"])
+        st[0] = s
 
     dt = _time(train, reps=3)
     print(json.dumps({

@@ -75,9 +75,10 @@ class RoPEAttention(nn.Module):
     loop:
       * "dense"   — einsum logits (best for short sequences, differentiable)
       * "chunked" — blockwise online-softmax in pure JAX (O(S) memory,
-                    differentiable; long frame axes in training)
-      * "flash"   — Pallas TPU kernel (forward-only; sampling path)
-      * "auto"    — dense when S <= 512 else chunked
+                    differentiable; the flash fallback on CPU)
+      * "flash"   — Pallas TPU kernel, differentiable (FA2-style custom-vjp
+                    backward); long frame axes in training AND sampling
+      * "auto"    — dense when S <= 512, else flash on TPU / chunked on CPU
     """
 
     embed_dim: int
@@ -176,7 +177,8 @@ class RoPEAttention(nn.Module):
         dropout_on = self.dropout_rate > 0.0 and self.has_rng("dropout")
         impl = self.impl
         if impl == "auto":
-            impl = "dense" if S_k <= 512 else "chunked"
+            # flash's CPU fallback is chunked, so "flash" is safe everywhere
+            impl = "dense" if S_k <= 512 else "flash"
         elif impl == "flash" and S_k <= 512:
             impl = "dense"  # dense wins below the logit-memory crossover
         if dropout_on:

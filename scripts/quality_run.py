@@ -1,0 +1,120 @@
+"""Quality loop on the real CLI surface: train -> sim_inference -> analyze.
+
+Reproducible evidence for the quality gate (BASELINE.md): trains a 4AA model
+on synthetic trajectories with `train.py`, samples rollouts with
+`sim_inference.py`, and scores torsion JSDs (scipy-exact, reference
+`scripts/analyze_peptide_sim.py` semantics) with `scripts/analyze_peptide_sim.py`.
+Everything runs through subprocess CLI calls — the same surface a user of the
+reference would drive.
+
+    python scripts/quality_run.py --epochs 6000 --out /tmp/quality_r2
+"""
+import argparse
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# 8 tetrapeptides with diverse sidechain chemistry (the synthetic generator
+# seeds torsion basins per residue identity)
+PEPTIDES = ["ACDE", "WYNK", "GSVL", "FHMT", "RQIP", "DKYA", "NEWS", "LCTV"]
+
+
+def run(cmd, env=None):
+    print("+", " ".join(cmd), flush=True)
+    e = dict(os.environ)
+    if env:
+        e.update(env)
+    subprocess.run(cmd, check=True, env=e, cwd=REPO)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", type=str, default="/tmp/quality_r2")
+    p.add_argument("--epochs", type=int, default=6000)
+    p.add_argument("--num_frames", type=int, default=100)
+    p.add_argument("--md_frames", type=int, default=5000)
+    p.add_argument("--num_rollouts", type=int, default=10)
+    p.add_argument("--embed_dim", type=int, default=128)
+    p.add_argument("--num_layers", type=int, default=3)
+    p.add_argument("--skip_train", action="store_true",
+                   help="reuse an existing checkpoint in --out")
+    args = p.parse_args()
+
+    data_dir = os.path.join(args.out, "data")
+    samp_dir = os.path.join(args.out, "samples")
+    os.makedirs(samp_dir, exist_ok=True)
+    run_name = "quality_r2"
+    # train.py writes checkpoints to workdir/{run_name} under its cwd
+    ckpt_root = os.path.join(REPO, "workdir", run_name)
+
+    # 1. synthetic MD dataset (the "reference MD" side of the JSD)
+    from mdgen_tpu.data import write_synthetic_dataset
+
+    split = write_synthetic_dataset(
+        data_dir, [(s, s) for s in PEPTIDES], num_frames=args.md_frames, seed=0
+    )
+
+    # 2. train via the CLI
+    if not args.skip_train:
+        run([
+            sys.executable, "train.py", "--sim_condition", "--prepend_ipa",
+            "--abs_pos_emb", "--abs_time_emb",
+            "--crop", "4", "--num_frames", str(args.num_frames),
+            "--num_layers", str(args.num_layers),
+            "--embed_dim", str(args.embed_dim),
+            "--mha_heads", "8", "--ipa_heads", "2", "--ipa_head_dim", "16",
+            "--ipa_qk", "4", "--ipa_v", "4",
+            "--batch_size", "8", "--lr", "4e-4",
+            "--epochs", str(args.epochs),
+            "--data_dir", data_dir, "--train_split", split,
+            "--val_split", split,
+            "--val_epoch_freq", "500", "--val_batches", "1",
+            "--ckpt_freq", "1000", "--print_freq", "200",
+            "--run_name", run_name,
+        ])
+
+    # sim_inference takes the run dir (config.json + step_* checkpoints)
+    # and restores the newest step itself
+    print("using checkpoint dir:", ckpt_root, flush=True)
+
+    # 3. sample rollouts via the CLI (T frames x num_rollouts per peptide)
+    run([
+        sys.executable, "sim_inference.py", "--sim_ckpt", ckpt_root,
+        "--data_dir", data_dir, "--split", split,
+        "--num_rollouts", str(args.num_rollouts),
+        "--out_dir", samp_dir, "--xtc",
+    ])
+
+    # 4. analyze via the CLI (scipy-exact JSDs)
+    run([
+        sys.executable, "scripts/analyze_peptide_sim.py",
+        "--mddir", data_dir, "--pdbdir", samp_dir,
+        "--save", "--no_msm", "--no_decorr", "--tica_lag", "100",
+        "--save_name", "out.pkl", "--split", split,
+    ], env={"JAX_PLATFORMS": "cpu"})
+
+    with open(os.path.join(samp_dir, "out.pkl"), "rb") as fh:
+        out = pickle.load(fh)
+    tors, alls = {}, {}
+    for name, d in out.items():
+        jsd = d.get("JSD", {})
+        t = [v for k, v in jsd.items() if "|" not in k and not k.startswith("TICA")]
+        if t:
+            tors[name] = sum(t) / len(t)
+        if jsd:
+            alls[name] = sum(jsd.values()) / len(jsd)
+    print(json.dumps({
+        "per_peptide_mean_torsion_jsd": {k: round(v, 4) for k, v in tors.items()},
+        "mean_torsion_jsd": round(sum(tors.values()) / max(len(tors), 1), 4),
+        "mean_all_jsd": round(sum(alls.values()) / max(len(alls), 1), 4),
+    }))
+    print("QUALITY RUN OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -135,10 +135,27 @@ def bench_flash(args):
 
         dense_j = jax.jit(dense)
         t_de = _time(lambda: jax.block_until_ready(dense_j()))
+
+        # fwd+bwd (training cost): FA2 custom-vjp vs chunked autodiff
+        from mdgen_tpu.ops.flash_attention import _flash_vjp
+
+        def g(fn):
+            grads = jax.jit(jax.grad(
+                lambda q, k, v: jnp.sum(
+                    fn(q, k, v, bias).astype(jnp.float32) ** 2
+                ),
+                argnums=(0, 1, 2),
+            ))
+            return lambda: jax.block_until_ready(grads(q, k, v))
+
+        t_flg = _time(g(_flash_vjp))
+        t_chg = _time(g(chunked_attention))
         out[T] = dict(max_abs_err_vs_chunked=err,
                       flash_ms=round(t_fl * 1e3, 3),
                       chunked_ms=round(t_ch * 1e3, 3),
-                      dense_ms=round(t_de * 1e3, 3))
+                      dense_ms=round(t_de * 1e3, 3),
+                      flash_grad_ms=round(t_flg * 1e3, 3),
+                      chunked_grad_ms=round(t_chg * 1e3, 3))
         print(f"T={T}: {out[T]}")
     print(json.dumps({"bench": "flash", "results": out}))
 
@@ -184,7 +201,7 @@ def bench_train4aa(args):
     from mdgen_tpu.runtime import MDGenRuntime
 
     cfg = _cfg(num_frames=1000, batch_size=args.train_batch,
-               grad_checkpointing=True)
+               grad_checkpointing=True, attn_impl=args.attn_impl)
     rt = MDGenRuntime(cfg)
     batch = _batch(cfg, args.train_batch)
     state = rt.init(jax.random.PRNGKey(0), batch)
@@ -199,6 +216,7 @@ def bench_train4aa(args):
     dt = _time(train, reps=3)
     print(json.dumps({
         "bench": "train4aa", "batch": args.train_batch,
+        "attn_impl": args.attn_impl,
         "ms_per_step": round(dt * 1e3, 1),
         "steps_per_s": round(1 / dt, 3),
     }))
@@ -212,6 +230,8 @@ def main():
     p.add_argument("--trace_batch", type=int, default=1)
     p.add_argument("--atlas_steps", type=int, default=10)
     p.add_argument("--train_batch", type=int, default=1)
+    p.add_argument("--attn_impl", type=str, default="auto",
+                   choices=["auto", "dense", "chunked", "flash"])
     args = p.parse_args()
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     dict(batch_scaling=bench_batch_scaling, flash=bench_flash,

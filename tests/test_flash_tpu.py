@@ -74,3 +74,33 @@ def test_flash_engages_in_model_at_long_T():
     np.testing.assert_allclose(
         np.asarray(out_f), np.asarray(out_d), atol=5e-3
     )
+
+
+@pytest.mark.parametrize("T", [1024, 1000])
+def test_flash_vjp_matches_chunked_autodiff(T):
+    """FA2 custom-vjp backward on-chip vs autodiff of the chunked-JAX path
+    (the reference gradient at long T)."""
+    from mdgen_tpu.ops.flash_attention import _flash_vjp, chunked_attention
+
+    rng = np.random.default_rng(4)
+    N, d = 8, 24
+    q = jnp.asarray(rng.normal(size=(N, T, d)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.normal(size=(N, T + 1, d)), jnp.float32) * 0.3
+    v = jnp.asarray(rng.normal(size=(N, T + 1, d)), jnp.float32) * 0.3
+    mask = np.ones((N, T + 1), np.float32)
+    mask[:, T // 2 : T - 3] = 0.0
+    bias = jnp.asarray(np.where(mask > 0, 0.0, np.finfo(np.float32).min))
+    w = jnp.asarray(rng.normal(size=(N, T, d)), jnp.float32)
+
+    def loss(fn, q, k, v):
+        return jnp.sum(fn(q, k, v, bias) * w)
+
+    g_f = jax.grad(lambda *a: loss(_flash_vjp, *a), argnums=(0, 1, 2))(q, k, v)
+    g_c = jax.grad(lambda *a: loss(chunked_attention, *a), argnums=(0, 1, 2))(
+        q, k, v
+    )
+    for name, a, b in zip("qkv", g_f, g_c):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3,
+            err_msg=f"on-chip grad mismatch for {name}",
+        )

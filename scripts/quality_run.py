@@ -34,6 +34,7 @@ def run(cmd, env=None):
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--task", type=str, default="sim", choices=["sim", "design"])
     p.add_argument("--out", type=str, default="/tmp/quality_r2")
     p.add_argument("--epochs", type=int, default=6000)
     p.add_argument("--num_frames", type=int, default=100)
@@ -48,7 +49,7 @@ def main():
     data_dir = os.path.join(args.out, "data")
     samp_dir = os.path.join(args.out, "samples")
     os.makedirs(samp_dir, exist_ok=True)
-    run_name = "quality_r2"
+    run_name = "quality_r2" if args.task == "sim" else "quality_r2_design"
     # train.py writes checkpoints to workdir/{run_name} under its cwd
     ckpt_root = os.path.join(REPO, "workdir", run_name)
 
@@ -60,9 +61,15 @@ def main():
     )
 
     # 2. train via the CLI
+    task_flags = (
+        ["--sim_condition"] if args.task == "sim"
+        # reference design recipe (README.md:57): inpainting + design,
+        # no_aa_emb, no_torsion
+        else ["--inpainting", "--design", "--no_aa_emb", "--no_torsion"]
+    )
     if not args.skip_train:
         run([
-            sys.executable, "train.py", "--sim_condition", "--prepend_ipa",
+            sys.executable, "train.py", *task_flags, "--prepend_ipa",
             "--abs_pos_emb", "--abs_time_emb",
             "--crop", "4", "--num_frames", str(args.num_frames),
             "--num_layers", str(args.num_layers),
@@ -78,9 +85,27 @@ def main():
             "--run_name", run_name,
         ])
 
-    # sim_inference takes the run dir (config.json + step_* checkpoints)
-    # and restores the newest step itself
+    # the inference CLIs take the run dir (config.json + step_* checkpoints)
+    # and restore the newest step themselves
     print("using checkpoint dir:", ckpt_root, flush=True)
+
+    if args.task == "design":
+        # 3b. design inference on highest-flux MSM windows + recovery
+        run([
+            sys.executable, "design_inference.py", "--sim_ckpt", ckpt_root,
+            "--data_dir", data_dir, "--split", split,
+            "--num_frames", str(args.num_frames),
+            "--num_batches", "2", "--batch_size", "16",
+            "--tica_lag", "100", "--msm_lag", "10",
+            "--random_start_idx",
+            "--out_dir", samp_dir,
+        ])
+        run([
+            sys.executable, "scripts/analyze_peptide_design.py",
+            "--pdbdir", samp_dir,
+        ], env={"JAX_PLATFORMS": "cpu"})
+        print("QUALITY RUN OK", flush=True)
+        return
 
     # 3. sample rollouts via the CLI (T frames x num_rollouts per peptide)
     run([

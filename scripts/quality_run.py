@@ -35,6 +35,8 @@ def run(cmd, env=None):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--task", type=str, default="sim", choices=["sim", "design"])
+    p.add_argument("--run_name", type=str, default=None,
+                   help="workdir run name (default: quality_r2[_design])")
     p.add_argument("--out", type=str, default="/tmp/quality_r2")
     p.add_argument("--epochs", type=int, default=6000)
     p.add_argument("--num_frames", type=int, default=100)
@@ -49,7 +51,9 @@ def main():
     data_dir = os.path.join(args.out, "data")
     samp_dir = os.path.join(args.out, "samples")
     os.makedirs(samp_dir, exist_ok=True)
-    run_name = "quality_r2" if args.task == "sim" else "quality_r2_design"
+    run_name = args.run_name or (
+        "quality_r2" if args.task == "sim" else "quality_r2_design"
+    )
     # train.py writes checkpoints to workdir/{run_name} under its cwd
     ckpt_root = os.path.join(REPO, "workdir", run_name)
 

@@ -249,3 +249,37 @@ def save_trajectory(atom14, aatype, pdb_path: str, xtc_path: str | None = None):
     mask37 = rc.RESTYPE_ATOM37_MASK[aatype].astype(bool)
     mask37 &= (np.abs(atom37).sum(-1) > 1e-7).any(0)
     write_xtc_angstrom(xtc_path, atom37[:, mask37])
+
+
+def load_trajectory(pdb_path: str):
+    """Analysis-side loader matching the reference's mdtraj.load(xtc, top=pdb)
+    contract (reference `scripts/analyze_peptide_sim.py:40-47`): when a
+    sibling ``.xtc`` exists, the PDB is the topology (frame 0, as written by
+    :func:`save_trajectory`) and coordinates come from the XTC; otherwise the
+    PDB is the full multi-MODEL trajectory. Returns (atom14 [T, L, 14, 3]
+    float32 Angstrom, aatype [L])."""
+    import os
+
+    from .geometry import atom37_to_atom14
+    from .xtc import read_xtc
+
+    atom14, aatype = load_pdb_trajectory(pdb_path)
+    xtc_path = os.path.splitext(pdb_path)[0] + ".xtc"
+    if not os.path.exists(xtc_path):
+        return atom14, aatype
+
+    coords_nm, _, _ = read_xtc(xtc_path)
+    # reconstruct the writer's atom selection (save_trajectory: restype
+    # atom37 mask minus all-zero padding atoms) from the topology frame
+    atom37_0 = np.asarray(atom14_to_atom37(atom14[:1], aatype))
+    mask37 = rc.RESTYPE_ATOM37_MASK[aatype].astype(bool)
+    mask37 &= (np.abs(atom37_0).sum(-1) > 1e-7).any(0)
+    n_sel = int(mask37.sum())
+    if coords_nm.shape[1] != n_sel:
+        raise ValueError(
+            f"{xtc_path}: {coords_nm.shape[1]} atoms vs {n_sel} in topology"
+        )
+    T, L = coords_nm.shape[0], aatype.shape[0]
+    out37 = np.zeros((T, L, 37, 3), np.float32)
+    out37[:, mask37] = coords_nm.astype(np.float32) * 10.0
+    return np.asarray(atom37_to_atom14(out37, aatype), np.float32), aatype

@@ -49,7 +49,7 @@ from mdgen_tpu.analysis import (  # noqa: E402
 from mdgen_tpu.analysis.featurize import describe_features  # noqa: E402
 from mdgen_tpu.analysis.metrics import acovf, torsion_decorrelation_curve  # noqa: E402
 from mdgen_tpu.analysis.msm import TICA  # noqa: E402
-from mdgen_tpu.protein import load_pdb_trajectory  # noqa: E402
+from mdgen_tpu.protein import load_trajectory  # noqa: E402
 
 
 def torsion_features(atom14, aatype, cossin):
@@ -60,7 +60,7 @@ def main(name):
     out = {}
     np.random.seed(137)
 
-    traj_atom14, aatype = load_pdb_trajectory(f"{args.pdbdir}/{name}.pdb")
+    traj_atom14, aatype = load_trajectory(f"{args.pdbdir}/{name}.pdb")
     if args.truncate:
         traj_atom14 = traj_atom14[: args.truncate]
     ref_atom14 = np.asarray(

@@ -34,7 +34,7 @@ from mdgen_tpu.analysis import (  # noqa: E402
     jensen_shannon,
     sample_tp,
 )
-from mdgen_tpu.protein import load_pdb_trajectory  # noqa: E402
+from mdgen_tpu.protein import load_trajectory  # noqa: E402
 
 
 def discretize_traj(atom14, aatype, meta):
@@ -55,7 +55,7 @@ def main(name):
 
     paths, aatype = [], None
     for m in samples_meta:
-        atom14, aatype = load_pdb_trajectory(m["path"])
+        atom14, aatype = load_trajectory(m["path"])
         paths.append(discretize_traj(atom14, aatype, meta))
     paths = np.stack(paths)  # [S, T]
     start_state = samples_meta[0]["start_state"]

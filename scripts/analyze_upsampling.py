@@ -27,11 +27,11 @@ args = parser.parse_args()
 
 from mdgen_tpu.analysis.featurize import torsion_angles  # noqa: E402
 from mdgen_tpu.analysis.metrics import torsion_decorrelation_curve  # noqa: E402
-from mdgen_tpu.protein import load_pdb_trajectory  # noqa: E402
+from mdgen_tpu.protein import load_trajectory  # noqa: E402
 
 
 def main(name):
-    gen_atom14, aatype = load_pdb_trajectory(f"{args.pdbdir}/{name}.pdb")
+    gen_atom14, aatype = load_trajectory(f"{args.pdbdir}/{name}.pdb")
     ref_atom14 = np.asarray(
         np.lib.format.open_memmap(f"{args.mddir}/{name}{args.suffix}.npy", "r"),
         dtype=np.float32,

@@ -34,7 +34,8 @@ def run(cmd, env=None):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--task", type=str, default="sim", choices=["sim", "design"])
+    p.add_argument("--task", type=str, default="sim",
+                   choices=["sim", "design", "tps"])
     p.add_argument("--run_name", type=str, default=None,
                    help="workdir run name (default: quality_r2[_design])")
     p.add_argument("--out", type=str, default="/tmp/quality_r2")
@@ -51,9 +52,7 @@ def main():
     data_dir = os.path.join(args.out, "data")
     samp_dir = os.path.join(args.out, "samples")
     os.makedirs(samp_dir, exist_ok=True)
-    run_name = args.run_name or (
-        "quality_r2" if args.task == "sim" else "quality_r2_design"
-    )
+    run_name = args.run_name or f"quality_r2_{args.task}".replace("_sim", "")
     # train.py writes checkpoints to workdir/{run_name} under its cwd
     ckpt_root = os.path.join(REPO, "workdir", run_name)
 
@@ -65,12 +64,14 @@ def main():
     )
 
     # 2. train via the CLI
-    task_flags = (
-        ["--sim_condition"] if args.task == "sim"
+    task_flags = {
+        "sim": ["--sim_condition"],
         # reference design recipe (README.md:57): inpainting + design,
         # no_aa_emb, no_torsion
-        else ["--inpainting", "--design", "--no_aa_emb", "--no_torsion"]
-    )
+        "design": ["--inpainting", "--design", "--no_aa_emb", "--no_torsion"],
+        # reference TPS recipe (README.md:51): endpoint conditioning
+        "tps": ["--tps_condition"],
+    }[args.task]
     if not args.skip_train:
         run([
             sys.executable, "train.py", *task_flags, "--prepend_ipa",
@@ -92,6 +93,23 @@ def main():
     # the inference CLIs take the run dir (config.json + step_* checkpoints)
     # and restore the newest step themselves
     print("using checkpoint dir:", ckpt_root, flush=True)
+
+    if args.task == "tps":
+        # 3c. endpoint-conditioned paths between lowest-flux MSM states,
+        # scored against discrete bridge samples from the reference MSM
+        run([
+            sys.executable, "tps_inference.py", "--sim_ckpt", ckpt_root,
+            "--data_dir", data_dir, "--split", split,
+            "--num_batches", "2", "--batch_size", "8",
+            "--tica_lag", "100", "--msm_lag", "10",
+            "--out_dir", samp_dir, "--xtc",
+        ])
+        run([
+            sys.executable, "scripts/analyze_peptide_tps.py",
+            "--mddir", data_dir, "--pdbdir", samp_dir, "--save",
+        ], env={"JAX_PLATFORMS": "cpu"})
+        print("QUALITY RUN OK", flush=True)
+        return
 
     if args.task == "design":
         # 3b. design inference on highest-flux MSM windows + recovery

@@ -120,3 +120,39 @@ def test_save_trajectory_pdb_xtc_pair(tmp_path, rng):
     pdb37 = np.asarray(atom14_to_atom37(pdb_traj, aatype))
     mask37 = rc.RESTYPE_ATOM37_MASK[aatype].astype(bool)
     np.testing.assert_allclose(coords[0] * 10.0, pdb37[0][mask37], atol=6e-3)
+
+
+def test_load_trajectory_reads_sibling_xtc(tmp_path):
+    """load_trajectory must return the FULL trajectory when the PDB is a
+    frame-0 topology with a sibling XTC (the save_trajectory --xtc layout),
+    and fall back to the multi-MODEL PDB otherwise. Regression: the analysis
+    scripts previously read only the 1-frame topology PDB."""
+    from mdgen_tpu.data import synthetic_trajectory
+    from mdgen_tpu.geometry import constants as rc
+    from mdgen_tpu.protein import load_trajectory, save_trajectory
+    from mdgen_tpu.xtc import superpose
+
+    seq = "WYNK"
+    T = 5
+    atom14 = synthetic_trajectory(seq, T, seed=1)
+    aatype = np.asarray(rc.str_sequence_to_aatype(seq))
+
+    # xtc layout
+    pdb = str(tmp_path / "t.pdb")
+    save_trajectory(atom14, aatype, pdb, xtc_path=str(tmp_path / "t.xtc"))
+    got, aa = load_trajectory(pdb)
+    assert got.shape == (T, len(seq), 14, 3)
+    np.testing.assert_array_equal(aa, aatype)
+    mask14 = rc.RESTYPE_ATOM14_MASK[aatype].astype(bool)
+    aligned = superpose(
+        atom14.reshape(T, -1, 3), mask14.reshape(-1)
+    ).reshape(atom14.shape)
+    # grid: XTC 5e-3 A + PDB 5e-4 A on the frame-0 topology
+    np.testing.assert_allclose(got[:, mask14], aligned[:, mask14], atol=1e-2)
+
+    # multi-MODEL layout (no xtc)
+    pdb2 = str(tmp_path / "m.pdb")
+    save_trajectory(atom14, aatype, pdb2)
+    got2, _ = load_trajectory(pdb2)
+    assert got2.shape == (T, len(seq), 14, 3)
+    np.testing.assert_allclose(got2[:, mask14], atom14[:, mask14], atol=1e-3)

@@ -35,7 +35,7 @@ def run(cmd, env=None):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--task", type=str, default="sim",
-                   choices=["sim", "design", "tps"])
+                   choices=["sim", "design", "tps", "upsampling"])
     p.add_argument("--run_name", type=str, default=None,
                    help="workdir run name (default: quality_r2[_design])")
     p.add_argument("--out", type=str, default="/tmp/quality_r2")
@@ -62,6 +62,13 @@ def main():
     split = write_synthetic_dataset(
         data_dir, [(s, s) for s in PEPTIDES], num_frames=args.md_frames, seed=0
     )
+    if args.task == "upsampling":
+        # the kept (low-framerate) trajectories the upsampler interpolates
+        import numpy as np
+
+        for s in PEPTIDES:
+            arr = np.load(os.path.join(data_dir, f"{s}.npy"))
+            np.save(os.path.join(data_dir, f"{s}_i10.npy"), arr[::10])
 
     # 2. train via the CLI
     task_flags = {
@@ -71,6 +78,9 @@ def main():
         "design": ["--inpainting", "--design", "--no_aa_emb", "--no_torsion"],
         # reference TPS recipe (README.md:51): endpoint conditioning
         "tps": ["--tps_condition"],
+        # reference upsampling recipe (README.md:54) scaled to synthetic
+        # data: condition on every 10th frame instead of every 100th
+        "upsampling": ["--sim_condition", "--cond_interval", "10"],
     }[args.task]
     if not args.skip_train:
         run([
@@ -93,6 +103,22 @@ def main():
     # the inference CLIs take the run dir (config.json + step_* checkpoints)
     # and restore the newest step themselves
     print("using checkpoint dir:", ckpt_root, flush=True)
+
+    if args.task == "upsampling":
+        # 3d. fill frames between the kept every-10th frames, score the
+        # torsion autocorrelation triplet (truth / generated / naive)
+        run([
+            sys.executable, "upsampling_inference.py", "--ckpt", ckpt_root,
+            "--data_dir", data_dir, "--split", split, "--suffix", "_i10",
+            "--out_dir", samp_dir, "--xtc",
+        ])
+        run([
+            sys.executable, "scripts/analyze_upsampling.py",
+            "--mddir", data_dir, "--pdbdir", samp_dir,
+            "--cond_interval", "10", "--nlag", "100", "--save",
+        ], env={"JAX_PLATFORMS": "cpu"})
+        print("QUALITY RUN OK", flush=True)
+        return
 
     if args.task == "tps":
         # 3c. endpoint-conditioned paths between lowest-flux MSM states,

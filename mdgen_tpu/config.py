@@ -47,6 +47,11 @@ class MDGenConfig:
     supervise_all_torsions: bool = False
     no_offsets: bool = False
     no_frames: bool = False
+    # relative loss weight on the sidechain (chi1-4) torsion sin/cos
+    # channels; 1.0 = reference behavior (uniform). Sidechain rotamer
+    # marginals dominate the residual JSD at convergence (round-2/3
+    # diagnosis), so upweighting chi channels shifts capacity there.
+    chi_loss_weight: float = 1.0
 
     # -- model -------------------------------------------------------------
     num_layers: int = 5
@@ -160,6 +165,7 @@ def add_model_args(parser):
     g.add_argument("--no_design_torsion", action="store_true")
     g.add_argument("--supervise_no_torsions", action="store_true")
     g.add_argument("--supervise_all_torsions", action="store_true")
+    g.add_argument("--chi_loss_weight", type=float, default=1.0)
     g.add_argument("--no_offsets", action="store_true")
     g.add_argument("--no_frames", action="store_true")
 

@@ -71,18 +71,134 @@ def synthetic_trajectory(seqres: str, num_frames: int, seed: int = 0) -> np.ndar
     return out.astype(np.float16)
 
 
+def _ou_noise(rng, T, shape, tau: float, sigma: float):
+    """Stationary Ornstein-Uhlenbeck process: correlation time ``tau``
+    frames, stationary std ``sigma``. Vectorized exact discretization."""
+    a = np.exp(-1.0 / tau)
+    b = sigma * np.sqrt(1.0 - a * a)
+    eps = rng.normal(size=(T, *shape))
+    x = np.empty((T, *shape))
+    x[0] = rng.normal(size=shape) * sigma
+    for t in range(1, T):
+        x[t] = a * x[t - 1] + b * eps[t]
+    return x
+
+
+# rotamer basin centers (radians): the standard gauche-/gauche+/trans wells
+_CHI_BASINS = np.deg2rad([-60.0, 60.0, 180.0])
+# psi-like backbone wells (helix / sheet), used for the psi torsion which IS
+# reconstructed into atoms (it places the backbone O)
+_PSI_BASINS = np.deg2rad([-45.0, 135.0])
+
+
+def synthetic_rotamer_trajectory(
+    seqres: str, num_frames: int, seed: int = 0
+) -> np.ndarray:
+    """Build a [T, L, 14, 3] float16 atom14 trajectory with REAL torsional
+    dynamics: psi and chi1-4 evolve as multi-basin Markov jump processes with
+    thermal (OU) within-basin fluctuation, and atoms are reconstructed from
+    (frames, torsions) via the model's own geometry. Compared to
+    :func:`synthetic_trajectory` (rigid literature sidechains -> delta-
+    function chi marginals), this gives the analysis JSDs thermally-broadened
+    multi-modal rotamer marginals and slow basin-hopping kinetics (TICA
+    signal) — the same statistics real tetrapeptide MD exhibits (reference
+    data contract: `scripts/prep_sims.py:54-62`).
+    """
+    import jax.numpy as jnp
+
+    from ..geometry import Rigid, frames_torsions_to_atom14
+
+    rng = np.random.default_rng(seed)
+    aatype = rc.str_sequence_to_aatype(seqres)
+    L = len(aatype)
+    T = num_frames
+    chi_mask = np.asarray(rc.chi_angles_mask)[np.asarray(aatype)]  # [L, 4]
+
+    # ---- backbone frames: slow smooth rigid motion (as v1) ---------------
+    angles = _smooth_noise(rng, T, (L, 3), smooth=16) * 0.8
+    offsets = _smooth_noise(rng, T, (L, 3), smooth=16) * 1.5
+    base = np.stack([np.arange(L) * 3.8, np.zeros(L), np.zeros(L)], axis=-1)
+    cx, sx = np.cos(angles[..., 0]), np.sin(angles[..., 0])
+    cy, sy = np.cos(angles[..., 1]), np.sin(angles[..., 1])
+    cz, sz = np.cos(angles[..., 2]), np.sin(angles[..., 2])
+    Rx = np.zeros((T, L, 3, 3))
+    Rx[..., 0, 0] = 1
+    Rx[..., 1, 1], Rx[..., 1, 2] = cx, -sx
+    Rx[..., 2, 1], Rx[..., 2, 2] = sx, cx
+    Ry = np.zeros((T, L, 3, 3))
+    Ry[..., 1, 1] = 1
+    Ry[..., 0, 0], Ry[..., 0, 2] = cy, sy
+    Ry[..., 2, 0], Ry[..., 2, 2] = -sy, cy
+    Rz = np.zeros((T, L, 3, 3))
+    Rz[..., 2, 2] = 1
+    Rz[..., 0, 0], Rz[..., 0, 1] = cz, -sz
+    Rz[..., 1, 0], Rz[..., 1, 1] = sz, cz
+    rots = (Rx @ Ry @ Rz).astype(np.float32)
+    trans = (base[None] + offsets).astype(np.float32)
+
+    # ---- torsions: multi-basin Markov + OU thermal jitter ----------------
+    # torsion order (omega, phi, psi, chi1-4); omega/phi place no atoms in
+    # the atom14 reconstruction, so only psi + chi1-4 carry signal
+    tors = np.zeros((T, L, 7))
+    for li in range(L):
+        for ti in range(2, 7):  # psi, chi1..chi4
+            if ti >= 3 and not chi_mask[li, ti - 3]:
+                continue
+            basins = _PSI_BASINS if ti == 2 else _CHI_BASINS
+            nb = len(basins)
+            # per-torsion equilibrium occupancy + slow jump kinetics
+            probs = rng.dirichlet(np.full(nb, 2.0))
+            dwell = float(np.exp(rng.uniform(np.log(50.0), np.log(500.0))))
+            state = np.empty(T, np.int64)
+            state[0] = rng.choice(nb, p=probs)
+            u = rng.random(T)
+            jumps = u < 1.0 / dwell
+            for t in range(1, T):
+                state[t] = rng.choice(nb, p=probs) if jumps[t] else state[t - 1]
+            jitter = _ou_noise(rng, T, (), tau=10.0, sigma=0.2)
+            tors[:, li, ti] = basins[state] + jitter
+    # omega near trans, phi unconstrained smooth (neither is reconstructed)
+    tors[:, :, 0] = np.pi
+    tors[:, :, 1] = 0.0
+
+    torsions_sc = np.stack([np.sin(tors), np.cos(tors)], axis=-1).astype(
+        np.float32
+    )
+
+    # ---- reconstruct atoms with the framework's own geometry -------------
+    out = np.empty((T, L, 14, 3), np.float32)
+    aat = np.broadcast_to(np.asarray(aatype)[None], (T, L))
+    chunk = 1000
+    for s in range(0, T, chunk):
+        e = min(s + chunk, T)
+        frames = Rigid(jnp.asarray(rots[s:e]), jnp.asarray(trans[s:e]))
+        out[s:e] = np.asarray(
+            frames_torsions_to_atom14(
+                frames, jnp.asarray(torsions_sc[s:e]), jnp.asarray(aat[s:e])
+            )
+        )
+    mask = rc.restype_atom14_mask[aatype][..., None]
+    return (out * mask).astype(np.float16)
+
+
 def write_synthetic_dataset(
     out_dir: str,
     names_seqs: list[tuple[str, str]],
     num_frames: int,
     suffix: str = "",
     seed: int = 0,
+    rotamers: bool = False,
 ) -> str:
-    """Write ``.npy`` memmaps + a split CSV; returns the CSV path."""
+    """Write ``.npy`` memmaps + a split CSV; returns the CSV path.
+
+    ``rotamers=True`` uses :func:`synthetic_rotamer_trajectory` (thermal
+    multi-basin sidechain dynamics) instead of the rigid-sidechain v1
+    generator."""
     os.makedirs(out_dir, exist_ok=True)
+    gen = synthetic_rotamer_trajectory if rotamers else synthetic_trajectory
     rows = []
     for i, (name, seq) in enumerate(names_seqs):
-        traj = synthetic_trajectory(seq, num_frames, seed=seed + i)
+        traj = gen(seq, num_frames, seed=seed + i)
         np.save(os.path.join(out_dir, f"{name}{suffix}.npy"), traj)
         rows.append(f"{name},{seq}")
     csv_path = os.path.join(out_dir, "split.csv")

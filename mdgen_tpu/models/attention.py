@@ -86,6 +86,13 @@ class RoPEAttention(nn.Module):
     use_rope: bool = True
     add_bias_kv: bool = True
     impl: str = "auto"
+    # pallas_call has no GSPMD partitioning rule: when the attention axis is
+    # sharded (sp>1 meshes shard T), the flash kernel would force an
+    # all-gather/replicate of exactly the activations sp is meant to shard.
+    # The model sets this False for the T-attention on sp meshes so "auto"/
+    # "flash" degrade to the chunked online-softmax path, which XLA can
+    # partition.
+    allow_flash: bool = True
     dtype: Optional[jnp.dtype] = None  # compute dtype (params stay f32)
     # dropout on attention probabilities, the reference's placement
     # (`mdgen/model/mha.py:383-388`); active only when a "dropout" rng is
@@ -181,6 +188,8 @@ class RoPEAttention(nn.Module):
             impl = "dense" if S_k <= 512 else "flash"
         elif impl == "flash" and S_k <= 512:
             impl = "dense"  # dense wins below the logit-memory crossover
+        if impl == "flash" and not self.allow_flash:
+            impl = "chunked"  # sharded attention axis: see allow_flash above
         if dropout_on:
             impl = "dense"  # prob-dropout needs materialized attention
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..config import MDGenConfig
 from ..geometry.rigid import Rigid
-from ..parallel.mesh import constrain_tokens
+from ..parallel.mesh import constrain_tokens, sp_size
 from ..transport.dirichlet import DirichletConditionalFlow, simplex_proj
 from ..transport.transport import t_to_alpha
 from .attention import RoPEAttention
@@ -114,6 +114,10 @@ class LatentMDGenLayer(nn.Module):
     (reference `mdgen/model/latent_model.py:387-483`)."""
 
     cfg: MDGenConfig
+    # False when the mesh shards the frame axis (sp>1): the Pallas flash
+    # kernel cannot be GSPMD-partitioned over its attention axis, so the
+    # T-attention must stay on the chunked/dense paths
+    allow_flash_t: bool = True
 
     @nn.compact
     def __call__(self, x, mod, mask, frames: Optional[Rigid] = None):
@@ -165,6 +169,7 @@ class LatentMDGenLayer(nn.Module):
             h = RoPEAttention(C, cfg.mha_heads, use_rope=not cfg.no_rope,
                               impl=cfg.attn_impl, dtype=dt,
                               dropout_rate=cfg.dropout,
+                              allow_flash=self.allow_flash_t,
                               name="mha_t")(h, mask, axis=1)
         x = residual + g_t[:, None] * h
 
@@ -220,8 +225,10 @@ class LatentMDGenModel(nn.Module):
         layer_cls = LatentMDGenLayer
         if cfg.grad_checkpointing:
             layer_cls = nn.remat(LatentMDGenLayer, static_argnums=())
+        allow_flash_t = sp_size(self.mesh) == 1
         self.layers = [
-            layer_cls(cfg, name=f"layers_{i}") for i in range(cfg.num_layers)
+            layer_cls(cfg, allow_flash_t=allow_flash_t, name=f"layers_{i}")
+            for i in range(cfg.num_layers)
         ]
         # fused adaLN-zero modulation producers: one matmul per tower per
         # step instead of one per layer (zero-init preserves adaLN-zero)

@@ -97,10 +97,10 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Dispatcher: Pallas kernel on TPU, chunked-JAX elsewhere (Pallas CPU
     support is interpret-only). Differentiable on TPU via the custom-vjp
-    backward kernels (block sizes there are the module defaults)."""
+    backward kernels; block sizes reach both forward and backward."""
     if jax.default_backend() != "tpu" and not _interpret():
         return chunked_attention(q, k, v, bias, block_k=block_k)
-    return _flash_vjp(q, k, v, bias)
+    return _flash_vjp_blocked(block_q, block_k, q, k, v, bias)
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
@@ -372,22 +372,26 @@ def _flash_bwd_tpu(q, k, v, bias, o, lse, do,
             db[:, 0, :Tk].astype(bias.dtype))
 
 
-@jax.custom_vjp
-def _flash_vjp(q, k, v, bias):
-    return _flash_attention_tpu(q, k, v, bias)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _flash_vjp_blocked(block_q, block_k, q, k, v, bias):
+    return _flash_attention_tpu(q, k, v, bias, block_q=block_q, block_k=block_k)
 
 
-def _flash_vjp_fwd(q, k, v, bias):
-    o, lse = _flash_fwd_tpu(q, k, v, bias)
+def _flash_vjp_fwd(block_q, block_k, q, k, v, bias):
+    o, lse = _flash_fwd_tpu(q, k, v, bias, block_q=block_q, block_k=block_k)
     return o, (q, k, v, bias, o, lse)
 
 
-def _flash_vjp_bwd(res, do):
+def _flash_vjp_bwd(block_q, block_k, res, do):
     q, k, v, bias, o, lse = res
-    return _flash_bwd_tpu(q, k, v, bias, o, lse, do)
+    return _flash_bwd_tpu(q, k, v, bias, o, lse, do,
+                          block_q=block_q, block_k=block_k)
 
 
-_flash_vjp.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+_flash_vjp_blocked.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+# default-block convenience (tests, direct callers)
+_flash_vjp = functools.partial(_flash_vjp_blocked, 256, 256)
 
 
 # ---------------------------------------------------------------------------

@@ -128,19 +128,25 @@ def global_batch_from_local(mesh: Mesh, local_batch: dict) -> dict:
     """
     procs = jax.process_count()
     sp = _sp_size(mesh)
+    dp = mesh.shape["dp"]
     out = {}
     for k, v in local_batch.items():
         if not hasattr(v, "ndim"):
             out[k] = v
             continue
         v = np.asarray(v)
-        gshape = (v.shape[0] * procs,) + v.shape[1:]
-        if sp > 1 and k in _T_AXIS_KEYS and v.ndim >= 2 and v.shape[1] % sp == 0:
-            spec = P("dp", "sp")
-        elif v.ndim >= 1:
-            spec = P("dp")
-        else:
+        # mirror shard_batch: values without a dp-divisible leading batch
+        # dim (scalars, per-run metadata arrays) are replicated instead of
+        # crashing make_array_from_process_local_data
+        if v.ndim < 1 or (v.shape[0] * procs) % dp != 0:
             spec = P()
+            gshape = v.shape
+        elif sp > 1 and k in _T_AXIS_KEYS and v.ndim >= 2 and v.shape[1] % sp == 0:
+            spec = P("dp", "sp")
+            gshape = (v.shape[0] * procs,) + v.shape[1:]
+        else:
+            spec = P("dp")
+            gshape = (v.shape[0] * procs,) + v.shape[1:]
         out[k] = jax.make_array_from_process_local_data(
             NamedSharding(mesh, spec), v, gshape
         )

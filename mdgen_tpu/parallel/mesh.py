@@ -138,9 +138,10 @@ def param_sharding(mesh: Mesh, params) -> "jax.tree_util.PyTreeDef":
     return jax.tree_util.tree_map_with_path(map_fn, params)
 
 
-# batch keys whose axis 1 is the frame axis T (sp-shardable)
+# batch keys whose axis 1 is the frame axis T (sp-shardable).
+# NOT torsion_mask: it is [B, L, 7] — axis 1 is the residue axis.
 _T_AXIS_KEYS = frozenset(
-    {"atom14", "atom37", "torsions", "torsion_mask", "trans", "rots"}
+    {"atom14", "atom37", "torsions", "trans", "rots"}
 )
 
 

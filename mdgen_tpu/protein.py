@@ -239,15 +239,19 @@ def save_trajectory(atom14, aatype, pdb_path: str, xtc_path: str | None = None):
         return
 
     T, L = atom14.shape[:2]
+    # masks derive from frame 0 ONLY so the reader (load_trajectory), which
+    # only has the frame-0 topology PDB, reconstructs the identical atom
+    # selection (an atom zero at frame 0 but present later would otherwise
+    # desync writer and reader)
     mask14 = rc.RESTYPE_ATOM14_MASK[aatype].astype(bool)
-    mask14 &= (np.abs(atom14).sum(-1) > 1e-7).any(0)  # drop padding residues
+    mask14 &= np.abs(atom14[0]).sum(-1) > 1e-7  # drop padding residues
     flat = atom14.reshape(T, L * 14, 3)
     aligned = superpose(flat, mask14.reshape(-1)).reshape(T, L, 14, 3)
 
     atom14_to_pdb(aligned[:1], aatype, pdb_path)
     atom37 = np.asarray(atom14_to_atom37(aligned, aatype))
     mask37 = rc.RESTYPE_ATOM37_MASK[aatype].astype(bool)
-    mask37 &= (np.abs(atom37).sum(-1) > 1e-7).any(0)
+    mask37 &= np.abs(atom37[0]).sum(-1) > 1e-7
     write_xtc_angstrom(xtc_path, atom37[:, mask37])
 
 

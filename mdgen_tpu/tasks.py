@@ -120,6 +120,15 @@ def prep_batch(cfg: MDGenConfig, batch: dict) -> PreparedBatch:
     elif cfg.supervise_no_torsions:
         torsion_loss_mask = jnp.zeros_like(torsion_loss_mask)
 
+    if cfg.chi_loss_weight != 1.0:
+        # upweight the sidechain rotamer channels: torsions are ordered
+        # (omega, phi, psi, chi1-4) -> sin/cos channels 6..13 are chi1-4.
+        # The loss is a mask-weighted mean (transport.mean_flat), so this
+        # shifts relative emphasis without changing the loss scale.
+        w = jnp.ones((14,), jnp.float32).at[6:].set(cfg.chi_loss_weight)
+        torsion_loss_mask = torsion_loss_mask.astype(jnp.float32) * w
+        frame_loss_mask = frame_loss_mask.astype(jnp.float32)
+
     loss_mask = jnp.concatenate([frame_loss_mask, torsion_loss_mask], axis=-1)
     loss_mask = jnp.broadcast_to(loss_mask[:, None], (B, T, L, loss_mask.shape[-1]))
 
@@ -197,6 +206,21 @@ def build_upsampling_windows(tok: dict, num_frames: int, cond_interval: int):
             }
         )
     return out
+
+
+def pad_window_groups(windows: list, batch_size: int):
+    """Split ``windows`` into full batches of ``batch_size``, padding the
+    trailing partial group by repeating its last element (static shapes ->
+    no recompile). Yields ``(group, n_real)``; callers keep only the first
+    ``n_real`` outputs of the padded group, so no trajectory tail is ever
+    silently dropped (regression: upsampling_inference lost the tail at
+    batch_size > 1)."""
+    for i in range(0, len(windows), batch_size):
+        group = windows[i : i + batch_size]
+        n_real = len(group)
+        if n_real < batch_size:
+            group = group + [group[-1]] * (batch_size - n_real)
+        yield group, n_real
 
 
 def decode_latents(

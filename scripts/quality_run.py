@@ -19,6 +19,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# Subprocesses (train/inference) get the ORIGINAL env — the parent process
+# pins itself to CPU below so its in-process jax use (rotamer dataset
+# reconstruction) never holds the TPU client while a child needs it (two
+# concurrent clients deadlock the tunnel, BENCH.md "Measurement hygiene").
+BASE_ENV = dict(os.environ)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 # 8 tetrapeptides with diverse sidechain chemistry (the synthetic generator
 # seeds torsion basins per residue identity)
 PEPTIDES = ["ACDE", "WYNK", "GSVL", "FHMT", "RQIP", "DKYA", "NEWS", "LCTV"]
@@ -26,7 +33,7 @@ PEPTIDES = ["ACDE", "WYNK", "GSVL", "FHMT", "RQIP", "DKYA", "NEWS", "LCTV"]
 
 def run(cmd, env=None):
     print("+", " ".join(cmd), flush=True)
-    e = dict(os.environ)
+    e = dict(BASE_ENV)
     if env:
         e.update(env)
     subprocess.run(cmd, check=True, env=e, cwd=REPO)
@@ -45,6 +52,18 @@ def main():
     p.add_argument("--num_rollouts", type=int, default=10)
     p.add_argument("--embed_dim", type=int, default=128)
     p.add_argument("--num_layers", type=int, default=3)
+    p.add_argument("--mha_heads", type=int, default=8)
+    p.add_argument("--ipa_heads", type=int, default=2)
+    p.add_argument("--ipa_head_dim", type=int, default=16)
+    p.add_argument("--ipa_qk", type=int, default=4)
+    p.add_argument("--ipa_v", type=int, default=4)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--lr", type=float, default=4e-4)
+    p.add_argument("--chi_loss_weight", type=float, default=1.0,
+                   help="upweight sidechain chi sin/cos loss channels")
+    p.add_argument("--rigid_data", action="store_true",
+                   help="v1 rigid-sidechain synthetic data (delta-function "
+                        "chi marginals) instead of rotamer-diverse data")
     p.add_argument("--skip_train", action="store_true",
                    help="reuse an existing checkpoint in --out")
     args = p.parse_args()
@@ -60,7 +79,8 @@ def main():
     from mdgen_tpu.data import write_synthetic_dataset
 
     split = write_synthetic_dataset(
-        data_dir, [(s, s) for s in PEPTIDES], num_frames=args.md_frames, seed=0
+        data_dir, [(s, s) for s in PEPTIDES], num_frames=args.md_frames,
+        seed=0, rotamers=not args.rigid_data,
     )
     if args.task == "upsampling":
         # the kept (low-framerate) trajectories the upsampler interpolates
@@ -89,9 +109,12 @@ def main():
             "--crop", "4", "--num_frames", str(args.num_frames),
             "--num_layers", str(args.num_layers),
             "--embed_dim", str(args.embed_dim),
-            "--mha_heads", "8", "--ipa_heads", "2", "--ipa_head_dim", "16",
-            "--ipa_qk", "4", "--ipa_v", "4",
-            "--batch_size", "8", "--lr", "4e-4",
+            "--mha_heads", str(args.mha_heads),
+            "--ipa_heads", str(args.ipa_heads),
+            "--ipa_head_dim", str(args.ipa_head_dim),
+            "--ipa_qk", str(args.ipa_qk), "--ipa_v", str(args.ipa_v),
+            "--batch_size", str(args.batch_size), "--lr", str(args.lr),
+            "--chi_loss_weight", str(args.chi_loss_weight),
             "--epochs", str(args.epochs),
             "--data_dir", data_dir, "--train_split", split,
             "--val_split", split,

@@ -166,3 +166,39 @@ def test_frame_interval(data_dir):
     cfg2 = MDGenConfig(num_frames=61, crop=4, overfit_frame=True)
     full = MDGenDataset(cfg2, f"{data_dir}/split.csv", data_dir)[0]["atom14"]
     np.testing.assert_array_equal(strided, full[::4])
+
+
+def test_synthetic_rotamer_trajectory_has_thermal_multimodal_chis():
+    """The rotamer generator (round-3 quality lever) must produce sidechain
+    torsions with thermal width and basin structure — not the delta-function
+    marginals of the rigid v1 generator — and they must round-trip through
+    the tokenizer (the atoms are reconstructed from the sampled torsions)."""
+    import jax.numpy as jnp
+
+    from mdgen_tpu.data import synthetic_rotamer_trajectory
+    from mdgen_tpu.geometry import atom14_to_atom37, atom37_to_torsions
+    from mdgen_tpu.geometry import constants as rc
+
+    T = 256
+    seq = "WYNK"
+    aatype = np.asarray(rc.str_sequence_to_aatype(seq))
+    traj = synthetic_rotamer_trajectory(seq, T, seed=7)
+    assert traj.shape == (T, 4, 14, 3) and traj.dtype == np.float16
+    assert np.isfinite(traj.astype(np.float32)).all()
+
+    aat = jnp.broadcast_to(jnp.asarray(aatype)[None, None], (1, T, 4))
+    a37 = atom14_to_atom37(jnp.asarray(traj[None].astype(np.float32)), aat)
+    tors, tmask = atom37_to_torsions(a37, aat)
+    ang = np.arctan2(np.asarray(tors)[0, ..., 0], np.asarray(tors)[0, ..., 1])
+    tmask = np.asarray(tmask)[0, 0]  # [L, 7] (mask is constant over T)
+
+    # every valid chi torsion has thermal width (no delta-bin pathology):
+    # its circular std must exceed the histogram bin width (2pi/100)
+    for li in range(4):
+        for ti in range(3, 7):
+            if not tmask[li, ti]:
+                continue
+            a = ang[:, li, ti]
+            R = np.abs(np.mean(np.exp(1j * a)))
+            circ_std = np.sqrt(-2 * np.log(max(R, 1e-12)))
+            assert circ_std > 2 * np.pi / 100, (li, ti, circ_std)

@@ -162,3 +162,40 @@ def test_global_batch_from_local_single_process():
     assert tuple(out["atom14"].sharding.spec)[:2] == ("dp", "sp")
     np.testing.assert_array_equal(np.asarray(out["atom14"]), local["atom14"])
     np.testing.assert_array_equal(np.asarray(out["seqres"]), local["seqres"])
+
+
+def test_torsion_mask_not_frame_sharded():
+    """torsion_mask is [B, L, 7] — its axis 1 is residues, not frames; under
+    an sp mesh it must NOT get the P('dp','sp') token sharding (regression:
+    _T_AXIS_KEYS mis-tagged it, silently resharding the residue axis)."""
+    mesh = make_global_mesh(dp_size=2, tp_size=2, sp_size=2)
+    B, T, L = 4, 8, 4
+    batch = {
+        "torsions": np.zeros((B, T, L, 7, 2), np.float32),
+        "torsion_mask": np.ones((B, L, 7), np.float32),
+        "trans": np.zeros((B, T, L, 3), np.float32),
+    }
+    for fn in (lambda b: shard_batch(mesh, b),
+               lambda b: global_batch_from_local(mesh, b)):
+        out = fn(dict(batch))
+        assert tuple(out["torsions"].sharding.spec)[:2] == ("dp", "sp")
+        assert tuple(out["trans"].sharding.spec)[:2] == ("dp", "sp")
+        spec = tuple(out["torsion_mask"].sharding.spec)
+        assert "sp" not in spec, spec
+
+
+def test_global_batch_from_local_replicates_nonbatch_values():
+    """Values whose leading dim cannot be dp-sharded are replicated instead
+    of crashing make_array_from_process_local_data (ADVICE round 2)."""
+    mesh = make_global_mesh(dp_size=2, tp_size=2, sp_size=2)
+    local = {
+        "seqres": np.zeros((4, 4), np.int32),      # batched: sharded
+        "stats": np.arange(3, dtype=np.float32),   # 3 % dp != 0: replicated
+        "scalar": np.float32(1.5),                 # 0-dim: replicated
+    }
+    out = global_batch_from_local(mesh, local)
+    assert tuple(out["seqres"].sharding.spec)[:1] == ("dp",)
+    assert out["stats"].shape == (3,)
+    assert tuple(out["stats"].sharding.spec) == ()
+    np.testing.assert_array_equal(np.asarray(out["stats"]), local["stats"])
+    assert np.asarray(out["scalar"]) == np.float32(1.5)

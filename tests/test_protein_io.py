@@ -40,3 +40,27 @@ def test_native_writer_matches_python(tmp_path):
         native._lib, native._tried = saved
 
     assert open(p_native).read() == open(p_python).read()
+
+
+def test_save_load_trajectory_atom_zero_at_later_frames(tmp_path):
+    """Writer and reader derive the XTC atom selection from frame 0 ONLY, so
+    an atom that is zero at frame 0 but present later cannot desync them
+    (ADVICE round 2: .any(0) writer mask vs frame-0 reader mask)."""
+    from mdgen_tpu.data import synthetic_trajectory
+    from mdgen_tpu.geometry import constants as rc
+    from mdgen_tpu.protein import load_trajectory, save_trajectory
+
+    seq = "ACDE"
+    aatype = np.asarray(rc.str_sequence_to_aatype(seq))
+    traj = synthetic_trajectory(seq, 5, seed=0).astype(np.float32)
+    # atom zero at frame 0, nonzero later (the desync trigger)
+    traj[0, 2, 5] = 0.0
+    traj[1:, 2, 5] = 1.0
+
+    pdb = str(tmp_path / "t.pdb")
+    save_trajectory(traj, aatype, pdb, xtc_path=str(tmp_path / "t.xtc"))
+    out, aat = load_trajectory(pdb)  # must not raise a shape mismatch
+    assert out.shape[0] == 5
+    np.testing.assert_array_equal(aat, aatype)
+    # the frame-0-zero atom is consistently dropped everywhere
+    assert np.abs(out[:, 2, 5]).sum() == 0.0

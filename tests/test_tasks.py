@@ -117,3 +117,35 @@ def test_upsampling_window_packing(rng):
     )
     # second window continues where the first left off
     np.testing.assert_array_equal(windows[1]["trans"][::10], tok["trans"][5:10])
+
+
+def test_pad_window_groups_keeps_tail():
+    """Trailing partial batches are padded (static shapes) and flagged with
+    n_real so callers drop only the padding (regression: upsampling CLI
+    silently lost the trajectory tail at batch_size > 1)."""
+    from mdgen_tpu.tasks import pad_window_groups
+
+    windows = list(range(7))
+    groups = list(pad_window_groups(windows, 3))
+    assert [n for _, n in groups] == [3, 3, 1]
+    assert all(len(g) == 3 for g, _ in groups)
+    assert groups[-1][0] == [6, 6, 6]
+    # batch divides evenly: no padding
+    assert [n for _, n in pad_window_groups(list(range(6)), 3)] == [3, 3]
+
+
+def test_chi_loss_weight_scales_sidechain_channels(rng):
+    """--chi_loss_weight multiplies only the chi1-4 sin/cos loss channels
+    (torsion channels 6..13); offsets and backbone channels are untouched."""
+    batch = make_batch(rng)
+    batch["torsion_mask"] = batch["torsion_mask"].at[:, 0, 3].set(0.0)
+    base = prep_batch(MDGenConfig(sim_condition=True), batch)
+    weighted = prep_batch(
+        MDGenConfig(sim_condition=True, chi_loss_weight=5.0), batch
+    )
+    lm_b = np.asarray(base.loss_mask)
+    lm_w = np.asarray(weighted.loss_mask)
+    np.testing.assert_allclose(lm_w[..., :13], lm_b[..., :13])  # 7 off + bb
+    np.testing.assert_allclose(lm_w[..., 13:], lm_b[..., 13:] * 5.0)
+    # masked torsions stay masked (0 * w == 0): chi1 of residue 0
+    assert (lm_w[:, :, 0, 13:15] == 0).all()

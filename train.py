@@ -219,11 +219,15 @@ def main():
         logger.flush("train", epoch=epoch, step=int(state.step), save=True)
         if not args.no_validate and (epoch + 1) % args.val_epoch_freq == 0:
             run_validation(epoch)
-        if (epoch + 1) % args.ckpt_freq == 0:
+        if (epoch + 1) % args.ckpt_freq == 0 and proc_id == 0:
+            # state is replicated/fully addressable from process 0's view for
+            # dp-sharded training; a single writer avoids the same-path race
+            # the per-process save would create on shared filesystems
             path = checkpoint.save_checkpoint(model_dir, state, cfg, int(state.step))
             log.info(f"saved checkpoint: {path}")
 
-    checkpoint.save_checkpoint(model_dir, state, cfg, int(state.step))
+    if proc_id == 0:
+        checkpoint.save_checkpoint(model_dir, state, cfg, int(state.step))
 
 
 if __name__ == "__main__":

@@ -71,16 +71,12 @@ def main():
         )
         tok = {k: np.asarray(v)[0] for k, v in tok.items()}
 
-        from mdgen_tpu.tasks import build_upsampling_windows
+        from mdgen_tpu.tasks import build_upsampling_windows, pad_window_groups
 
         window_batches = build_upsampling_windows(tok, T, ci)
 
         all_atom14 = []
-        B = args.batch_size
-        for i in range(0, len(window_batches), B):
-            group = window_batches[i : i + B]
-            if len(group) < B:
-                break
+        for group, n_real in pad_window_groups(window_batches, args.batch_size):
             batch = {k: np.stack([g[k] for g in group]) for k in group[0]}
             if state is None:
                 state = rt.init(jax.random.PRNGKey(0), batch)
@@ -88,7 +84,9 @@ def main():
                 print(f"restored {args.ckpt} at step {step}")
             jkey, sub = jax.random.split(jkey)
             atom14, _ = rt.inference(rt.eval_params(state), batch, sub)
-            all_atom14.append(np.asarray(atom14).reshape(-1, L, 14, 3))
+            all_atom14.append(
+                np.asarray(atom14)[:n_real].reshape(-1, L, 14, 3)
+            )
 
         traj = np.concatenate(all_atom14, axis=0)
         path = os.path.join(args.out_dir, f"{name}.pdb")

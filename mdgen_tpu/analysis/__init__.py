@@ -14,7 +14,10 @@ from .msm import (  # noqa: F401
     estimate_markov_model,
     get_state_probs,
     get_tp_likelihood,
+    map_to_active,
     pcca_assignments,
+    reference_replica_metrics,
+    reference_tps_metrics,
     sample_tp,
 )
 from .metrics import (  # noqa: F401

@@ -346,3 +346,176 @@ def get_tp_likelihood(tp, trans):
 def get_state_probs(tp, num_states: int = 10):
     stationary = np.bincount(tp.reshape(-1), minlength=num_states)
     return stationary / stationary.sum()
+
+
+# ---------------------------------------------------------------------------
+# Reference TPS metric contract (reference `scripts/analyze_peptide_tps.py`)
+# ---------------------------------------------------------------------------
+
+
+def map_to_active(tp, cmsm):
+    """Map metastable labels -> cMSM active-set indices, with labels outside
+    the active set falling back to the highest-stationary-probability state
+    — including the reference's quirk that the fallback is that state's
+    LABEL, not its active index (identical when the active set is the full
+    label range, which holds for every published run)
+    (reference `scripts/analyze_peptide_tps.py:69-70,77`)."""
+    highest_prob_state = int(np.asarray(cmsm.active_set)[int(np.argmax(cmsm.pi))])
+    label_to_active = {int(v): i for i, v in enumerate(np.asarray(cmsm.active_set))}
+    flat = np.asarray(
+        [label_to_active.get(int(s), highest_prob_state)
+         for s in np.asarray(tp).reshape(-1)],
+        dtype=int,
+    )
+    return flat.reshape(np.shape(tp))
+
+
+def reference_tps_metrics(
+    gen_paths,
+    cmsm,
+    start_state: int,
+    end_state: int,
+    n_bridge_samples: int = 1000,
+    subsample: int = 10,
+    rng=None,
+):
+    """The reference's generated-path TPS metrics, definition-identical
+    (reference `scripts/analyze_peptide_tps.py:63-83`):
+
+      * paths are subsampled ``[:, ::10]`` with the final frame appended
+        (11-state paths at T=100)
+      * labels are mapped through the cMSM active set (highest-pi fallback)
+      * stepwise bridge likelihoods are taken under ``cmsm.transition_matrix``
+        (the ACTIVE-set matrix, not an identity-padded full matrix)
+      * gen_prob  = mean over paths of the product of stepwise likelihoods
+        gen_valid_prob = that mean over paths with prob > 0 (nan if none)
+        gen_valid_rate = fraction of paths with prob > 0
+        gen_JSD = Jensen-Shannon distance of visited-state histograms vs
+        1000 exact bridge samples from the cMSM
+
+    ``gen_paths``: [S, T] metastable labels of the full generated paths.
+    Returns (metrics dict, ref_stateprobs, gen_tp).
+    """
+    gen_paths = np.asarray(gen_paths)
+    gen_tp = np.concatenate(
+        [gen_paths[:, ::subsample], gen_paths[:, -1:]], axis=1
+    )
+    traj_len = gen_tp.shape[1]
+
+    # reference bridges: the reference passes the metastable LABELS straight
+    # into the active-set matrix (`analyze_peptide_tps.py:63-65`) — identical
+    # to sampling in active-index space and mapping back to labels whenever
+    # the active set is the full label range (every published run); for a
+    # partial active set the reference would crash, so the index-space form
+    # is the well-defined extension
+    active = np.asarray(cmsm.active_set)
+    label_to_active = {int(v): i for i, v in enumerate(active)}
+    ref_tp_idx = sample_tp(
+        cmsm.transition_matrix,
+        label_to_active[int(start_state)],
+        label_to_active[int(end_state)],
+        traj_len,
+        n_bridge_samples,
+        rng=rng,
+    )
+    ref_tp = active[ref_tp_idx]
+    ref_stateprobs = get_state_probs(ref_tp)
+    gen_stateprobs = get_state_probs(gen_tp)
+
+    probs = get_tp_likelihood(map_to_active(gen_tp, cmsm), cmsm.transition_matrix)
+    gen_prob = probs.prod(-1)
+    with np.errstate(invalid="ignore"):
+        valid_prob = (
+            float(gen_prob[gen_prob > 0].mean())
+            if (gen_prob > 0).any() else float("nan")
+        )
+    from .metrics import jensen_shannon
+
+    out = {
+        "gen_prob": float(gen_prob.mean()),
+        "gen_valid_prob": valid_prob,
+        "gen_valid_rate": float((gen_prob > 0).mean()),
+        "gen_JSD": jensen_shannon(ref_stateprobs, gen_stateprobs),
+    }
+    return out, ref_stateprobs, gen_tp
+
+
+def reference_replica_metrics(
+    rep_discrete,
+    cmsm,
+    start_state: int,
+    end_state: int,
+    ref_stateprobs,
+    rep_lens,
+    rep_names,
+    msm_lag: int = 1000,
+    traj_len: int = 11,
+    n_samples: int = 1000,
+    rng=None,
+):
+    """Replica-MD baselines: how much plain MD at 2-100ns buys, scored with
+    the same bridge metrics (reference `scripts/analyze_peptide_tps.py:86-131`).
+
+    ``rep_discrete``: metastable labels of the full replica trajectory
+    (discretized with the REFERENCE tica/kmeans/msm). For each truncated
+    length an MSM is re-estimated and 1000 bridges are sampled from it, then
+    scored under the reference cMSM. Absent start/end states give the
+    reference's sentinel values (prob 0, JSD 1, cheat-variant nan).
+    """
+    from .metrics import jensen_shannon
+
+    rep_discrete = np.asarray(rep_discrete)
+    out = {}
+    stateprobs_list = []
+    for ln, nm in zip(rep_lens, rep_names):
+        rep_small = rep_discrete[:ln]
+        try:
+            rep_msm = estimate_markov_model(rep_small, lag=msm_lag)
+        except Exception:
+            rep_msm = None
+        active = (
+            [] if rep_msm is None else [int(s) for s in rep_msm.active_set]
+        )
+        if start_state not in active or end_state not in active:
+            out[f"{nm}_rep_prob"] = 0
+            out[f"{nm}_rep_valid_prob"] = 0
+            out[f"{nm}_rep_valid_rate"] = 0
+            out[f"{nm}_rep_JSD"] = 1
+            for k in ("prob", "valid_prob", "valid_rate", "JSD"):
+                out[f"{nm}_repcheat_{k}"] = float("nan")
+            stateprobs_list.append(np.zeros(10))
+            continue
+
+        idx_to_repidx = {int(v): i for i, v in enumerate(rep_msm.active_set)}
+        repidx_to_idx = {i: int(v) for i, v in enumerate(rep_msm.active_set)}
+        repidx_tp = sample_tp(
+            rep_msm.transition_matrix,
+            idx_to_repidx[start_state],
+            idx_to_repidx[end_state],
+            traj_len,
+            n_samples,
+            rng=rng,
+        )
+        rep_tp = np.vectorize(repidx_to_idx.get)(repidx_tp)
+        assert rep_tp[0, 0] == start_state and rep_tp[0, -1] == end_state
+        rep_probs = get_tp_likelihood(
+            map_to_active(rep_tp, cmsm), cmsm.transition_matrix
+        )
+        rep_prob = rep_probs.prod(-1)
+        rep_stateprobs = get_state_probs(rep_tp)
+        stateprobs_list.append(rep_stateprobs)
+        with np.errstate(invalid="ignore"):
+            valid_prob = (
+                float(rep_prob[rep_prob > 0].mean())
+                if (rep_prob > 0).any() else float("nan")
+            )
+        vals = {
+            "prob": float(rep_prob.mean()),
+            "valid_prob": valid_prob,
+            "valid_rate": float((rep_prob > 0).mean()),
+            "JSD": jensen_shannon(ref_stateprobs, rep_stateprobs),
+        }
+        for k, v in vals.items():
+            out[f"{nm}_rep_{k}"] = v
+            out[f"{nm}_repcheat_{k}"] = v
+    return out, stateprobs_list

@@ -1,9 +1,17 @@
-"""TPS evaluation: path likelihood under the reference MSM, valid-path rate,
-and JSD of visited-state distributions vs exact bridge samples.
+"""TPS evaluation, metric-identical to the reference.
 
-Port of reference `scripts/analyze_peptide_tps.py:63-83` onto the NumPy
-toolkit, consuming tps_inference.py outputs (per-sample PDBs + metadata.json
-+ cached MSM pickle).
+Definition contract (reference `scripts/analyze_peptide_tps.py:63-131`):
+generated paths are subsampled ``::10`` with the last frame appended,
+mapped through the cMSM active set (highest-pi fallback), and scored as
+bridge likelihoods under the ACTIVE-set transition matrix; reported as
+``gen_prob`` / ``gen_valid_prob`` / ``gen_valid_rate = (prob > 0).mean()`` /
+``gen_JSD`` (visited-state distribution vs 1000 exact cMSM bridges).
+With ``--repdir``, replica-MD trajectories truncated to 2-100ns provide the
+"how much plain MD buys" baselines (``{len}_rep_*`` keys).
+
+Extra diagnostic kept from earlier rounds (NOT a reference metric):
+``endpoint_match_rate`` — fraction of full-length paths whose first/last
+frames discretize to the requested endpoint states.
 """
 import argparse
 import json
@@ -20,19 +28,27 @@ parser.add_argument("--mddir", type=str, required=True,
                     help="reference MD atom14 .npy directory")
 parser.add_argument("--pdbdir", type=str, required=True,
                     help="tps_inference output dir")
+parser.add_argument("--repdir", type=str, default=None,
+                    help="replica MD .npy directory for the 2-100ns "
+                         "baselines (reference --repdir)")
 parser.add_argument("--suffix", type=str, default="")
 parser.add_argument("--pdb_id", nargs="*", default=[])
 parser.add_argument("--n_bridge_samples", type=int, default=1000)
+parser.add_argument("--rep_lens", type=str,
+                    default="999999,500000,300000,200000,100000,50000,20000",
+                    help="replica truncation lengths in frames "
+                         "(reference: 100ns..2ns at 0.1ps/frame)")
+parser.add_argument("--rep_names", type=str,
+                    default="100ns,50ns,30ns,20ns,10ns,5ns,2ns")
+parser.add_argument("--rep_msm_lag", type=int, default=1000)
 parser.add_argument("--save", action="store_true")
 parser.add_argument("--save_name", type=str, default="tps_out.pkl")
 args = parser.parse_args()
 
 from mdgen_tpu.analysis import (  # noqa: E402
     featurize_torsions,
-    get_state_probs,
-    get_tp_likelihood,
-    jensen_shannon,
-    sample_tp,
+    reference_replica_metrics,
+    reference_tps_metrics,
 )
 from mdgen_tpu.protein import load_trajectory  # noqa: E402
 
@@ -44,40 +60,46 @@ def discretize_traj(atom14, aatype, meta):
 
 
 def main(name):
+    rng = np.random.default_rng(137)
     with open(f"{args.pdbdir}/{name}_metadata.pkl", "rb") as fh:
         meta = pickle.load(fh)
     with open(f"{args.pdbdir}/{name}_metadata.json") as fh:
         samples_meta = json.load(fh)
 
     cmsm = meta["cmsm"]
-    trans = np.eye(10)
-    trans[np.ix_(cmsm.active_set, cmsm.active_set)] = cmsm.transition_matrix
-
     paths, aatype = [], None
     for m in samples_meta:
         atom14, aatype = load_trajectory(m["path"])
         paths.append(discretize_traj(atom14, aatype, meta))
-    paths = np.stack(paths)  # [S, T]
+    paths = np.stack(paths)  # [S, T] metastable labels
     start_state = samples_meta[0]["start_state"]
     end_state = samples_meta[0]["end_state"]
 
-    out = {}
-    # per-path stepwise likelihoods under the reference coarse MSM bridge
-    lik = get_tp_likelihood(paths, trans)
-    path_probs = lik.prod(axis=1)
-    out["mean_log_path_likelihood"] = float(
-        np.mean(np.log(np.maximum(path_probs, 1e-300)))
+    out, ref_stateprobs, gen_tp = reference_tps_metrics(
+        paths, cmsm, start_state, end_state,
+        n_bridge_samples=args.n_bridge_samples, rng=rng,
     )
-    valid = (paths[:, 0] == start_state) & (paths[:, -1] == end_state)
-    out["valid_path_rate"] = float(valid.mean())
+    # diagnostic only (rounds 1-2 definition; not a reference metric)
+    out["endpoint_match_rate"] = float(
+        ((paths[:, 0] == start_state) & (paths[:, -1] == end_state)).mean()
+    )
 
-    # visited-state distribution vs exact bridge samples
-    bridges = sample_tp(
-        trans, start_state, end_state, paths.shape[1], args.n_bridge_samples
-    )
-    out["visited_state_jsd"] = jensen_shannon(
-        get_state_probs(paths), get_state_probs(bridges)
-    )
+    if args.repdir is not None:
+        rep_path = os.path.join(args.repdir, f"{name}{args.suffix}.npy")
+        rep14 = np.asarray(
+            np.lib.format.open_memmap(rep_path, mode="r"), np.float32
+        )
+        rep_discrete = discretize_traj(rep14, aatype, meta)
+        rep_out, _ = reference_replica_metrics(
+            rep_discrete, cmsm, start_state, end_state, ref_stateprobs,
+            rep_lens=[int(x) for x in args.rep_lens.split(",")],
+            rep_names=args.rep_names.split(","),
+            msm_lag=args.rep_msm_lag,
+            traj_len=gen_tp.shape[1],
+            n_samples=args.n_bridge_samples,
+            rng=rng,
+        )
+        out.update(rep_out)
     return name, out
 
 

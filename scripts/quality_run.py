@@ -64,6 +64,9 @@ def main():
     p.add_argument("--rigid_data", action="store_true",
                    help="v1 rigid-sidechain synthetic data (delta-function "
                         "chi marginals) instead of rotamer-diverse data")
+    p.add_argument("--train_extra", type=str, default="",
+                   help="extra flags appended to the train.py invocation, "
+                        "e.g. --train_extra '--ema --grad_checkpointing'")
     p.add_argument("--skip_train", action="store_true",
                    help="reuse an existing checkpoint in --out")
     args = p.parse_args()
@@ -121,6 +124,7 @@ def main():
             "--val_epoch_freq", "500", "--val_batches", "1",
             "--ckpt_freq", "1000", "--print_freq", "200",
             "--run_name", run_name,
+            *__import__("shlex").split(args.train_extra),
         ])
 
     # the inference CLIs take the run dir (config.json + step_* checkpoints)

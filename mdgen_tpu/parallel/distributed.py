@@ -100,9 +100,16 @@ def make_global_mesh(dp_size: int = -1, tp_size: int = 1,
     else:
         per_granule = (dp_local, sp_size, tp_size)
         per_host = (procs, 1, 1)
-    arr = mesh_utils.create_hybrid_device_mesh(
-        per_granule, dcn_mesh_shape=per_host,
-    )
+    try:
+        arr = mesh_utils.create_hybrid_device_mesh(
+            per_granule, dcn_mesh_shape=per_host,
+        )
+    except ValueError:
+        # Non-TPU clusters (CPU/GPU multi-process) carry no slice topology;
+        # order devices process-major so each host's dp granules are
+        # contiguous — the same dp-outer/DCN-riding layout as the TPU path.
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        arr = np.asarray(devs).reshape((procs,) + per_granule)
     return Mesh(arr.reshape(shape), axis_names=axes)
 
 

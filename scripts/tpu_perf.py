@@ -65,6 +65,29 @@ def _time(fn, reps=3):
     return min(ts)
 
 
+# bf16 peak of one v5e chip; override for other hardware.
+PEAK_FLOPS = float(os.environ.get("MDGEN_PEAK_FLOPS", 197e12))
+
+
+def _flops(jitted, *args, **kwargs):
+    """Total FLOPs of one call, from XLA's own cost model (None if the
+    backend doesn't expose it)."""
+    try:
+        cost = jitted.lower(*args, **kwargs).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"  (cost_analysis unavailable: {type(e).__name__}: {e})")
+        return None
+
+
+def _mfu(flops, seconds):
+    if flops is None or not seconds:
+        return None
+    return round(flops / seconds / PEAK_FLOPS * 100, 2)
+
+
 def bench_batch_scaling(args):
     """Sampled frames/s at B in {1, 4, 8, 32} — the round-1 mystery was a
     flat per-sample cost (B=32 costing 32x B=1)."""
@@ -90,10 +113,14 @@ def bench_batch_scaling(args):
             jax.profiler.stop_trace()
             print(f"trace written to {args.trace}")
         dt = _time(run)
+        fl = _flops(rt._rollout, state.params, batch["atom14"][:, 0],
+                    batch["seqres"], batch["mask"], jax.random.PRNGKey(1),
+                    num_rollouts=2)
         frames = B * 2 * cfg.num_frames
         per_step = dt / (2 * cfg.inference_steps) * 1000
         out[B] = dict(frames_per_s=round(frames / dt, 1),
-                      ms_per_denoiser_step=round(per_step, 3))
+                      ms_per_denoiser_step=round(per_step, 3),
+                      mfu_pct=_mfu(fl, dt))
         print(f"B={B}: {out[B]}")
     print(json.dumps({"bench": "batch_scaling", "results": out}))
 
@@ -177,11 +204,13 @@ def bench_atlas(args):
 
     dt = _time(sample, reps=2)
     fps = cfg.num_frames / dt
+    fl = _flops(rt._inference, state.params, batch, jax.random.PRNGKey(1))
     print(json.dumps({
         "bench": "atlas",
         "sample_frames_per_s": round(fps, 2),
         "nfe": cfg.inference_steps,
         "ms_per_denoiser_step": round(dt / cfg.inference_steps * 1e3, 2),
+        "mfu_pct": _mfu(fl, dt),
     }))
 
     # the train step donates its input state; chain it through reps
@@ -192,8 +221,10 @@ def bench_atlas(args):
         jax.block_until_ready(m["loss"])
         st[0] = s
 
+    fl = _flops(rt._train_step, st[0], batch, jax.random.PRNGKey(2))
     dt = _time(train, reps=3)
-    print(json.dumps({"bench": "atlas_train", "ms_per_step": round(dt * 1e3, 1)}))
+    print(json.dumps({"bench": "atlas_train", "ms_per_step": round(dt * 1e3, 1),
+                      "mfu_pct": _mfu(fl, dt)}))
 
 
 def bench_train4aa(args):
@@ -213,12 +244,14 @@ def bench_train4aa(args):
         jax.block_until_ready(m["loss"])
         st[0] = s
 
+    fl = _flops(rt._train_step, st[0], batch, jax.random.PRNGKey(2))
     dt = _time(train, reps=3)
     print(json.dumps({
         "bench": "train4aa", "batch": args.train_batch,
         "attn_impl": args.attn_impl,
         "ms_per_step": round(dt * 1e3, 1),
         "steps_per_s": round(1 / dt, 3),
+        "mfu_pct": _mfu(fl, dt),
     }))
 
 

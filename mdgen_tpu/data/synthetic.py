@@ -84,6 +84,36 @@ def _ou_noise(rng, T, shape, tau: float, sigma: float):
     return x
 
 
+def _replay_rotamer_dist_params(seed: int, T: int, L: int, chi_mask):
+    """Replays :func:`synthetic_rotamer_trajectory`'s DEFAULT-mode draw
+    sequence at trajectory length ``T`` and returns the distribution
+    parameters {(li, ti): (probs, dwell)} that a default-mode call with
+    (seed, T) uses. Consumes the rng exactly as the generator does (the
+    number of in-loop jump draws is data-dependent), so the extracted
+    params are exact — this is what lets a noise floor / eval set be drawn
+    from the SAME physical system as an existing default-mode dataset."""
+    rng = np.random.default_rng(seed)
+    rng.normal(size=(T + 16, L, 3))  # angles (_smooth_noise, smooth=16)
+    rng.normal(size=(T + 16, L, 3))  # offsets
+    params = {}
+    for li in range(L):
+        for ti in range(2, 7):
+            if ti >= 3 and not chi_mask[li, ti - 3]:
+                continue
+            basins = _PSI_BASINS if ti == 2 else _CHI_BASINS
+            nb = len(basins)
+            probs = rng.dirichlet(np.full(nb, 2.0))
+            dwell = float(np.exp(rng.uniform(np.log(50.0), np.log(500.0))))
+            params[(li, ti)] = (probs, dwell)
+            rng.choice(nb, p=probs)  # state[0]
+            u = rng.random(T)
+            for _ in range(int((u[1:] < 1.0 / dwell).sum())):
+                rng.choice(nb, p=probs)  # in-loop jump draws
+            rng.normal(size=(T,))  # _ou_noise eps
+            rng.normal(size=())  # _ou_noise x[0]
+    return params
+
+
 # rotamer basin centers (radians): the standard gauche-/gauche+/trans wells
 _CHI_BASINS = np.deg2rad([-60.0, 60.0, 180.0])
 # psi-like backbone wells (helix / sheet), used for the psi torsion which IS
@@ -92,7 +122,12 @@ _PSI_BASINS = np.deg2rad([-45.0, 135.0])
 
 
 def synthetic_rotamer_trajectory(
-    seqres: str, num_frames: int, seed: int = 0
+    seqres: str,
+    num_frames: int,
+    seed: int = 0,
+    path_seed: int | None = None,
+    replay_frames: int | None = None,
+    _dist_out: dict | None = None,
 ) -> np.ndarray:
     """Build a [T, L, 14, 3] float16 atom14 trajectory with REAL torsional
     dynamics: psi and chi1-4 evolve as multi-basin Markov jump processes with
@@ -103,20 +138,47 @@ def synthetic_rotamer_trajectory(
     multi-modal rotamer marginals and slow basin-hopping kinetics (TICA
     signal) — the same statistics real tetrapeptide MD exhibits (reference
     data contract: `scripts/prep_sims.py:54-62`).
+
+    ``seed`` defines the physical SYSTEM (per-torsion basin occupancies and
+    jump kinetics are drawn from it), not just the noise realization. With
+    ``path_seed=None`` (default) one stream drives both — byte-identical to
+    the original generator. Passing ``path_seed`` splits the streams: the
+    distribution parameters still come from ``seed`` (fixed order, so two
+    calls with the same seed describe the same system) while ALL trajectory
+    randomness comes from ``path_seed`` — an independent sample of the SAME
+    dynamics, which is what a sampling-noise floor needs
+    (scripts/noise_floor.py). NOTE: default mode interleaves distribution
+    and path draws on one stream, so plain ``path_seed=K`` at the same seed
+    is a *different* system than a default-mode dataset. To resample the
+    system of an EXISTING default-mode dataset, additionally pass
+    ``replay_frames`` = that dataset's num_frames: the distribution
+    parameters are then recovered by exact replay of the default draw
+    sequence (:func:`_replay_rotamer_dist_params`).
+
+    ``_dist_out``: debug/test hook — filled with the (probs, dwell) actually
+    used per torsion.
     """
     import jax.numpy as jnp
 
     from ..geometry import Rigid, frames_torsions_to_atom14
 
     rng = np.random.default_rng(seed)
+    split = path_seed is not None
+    rng_path = np.random.default_rng(path_seed) if split else rng
     aatype = rc.str_sequence_to_aatype(seqres)
     L = len(aatype)
     T = num_frames
     chi_mask = np.asarray(rc.chi_angles_mask)[np.asarray(aatype)]  # [L, 4]
+    if replay_frames is not None:
+        if not split:
+            raise ValueError("replay_frames requires path_seed")
+        replayed = _replay_rotamer_dist_params(seed, replay_frames, L, chi_mask)
+    else:
+        replayed = None
 
     # ---- backbone frames: slow smooth rigid motion (as v1) ---------------
-    angles = _smooth_noise(rng, T, (L, 3), smooth=16) * 0.8
-    offsets = _smooth_noise(rng, T, (L, 3), smooth=16) * 1.5
+    angles = _smooth_noise(rng_path, T, (L, 3), smooth=16) * 0.8
+    offsets = _smooth_noise(rng_path, T, (L, 3), smooth=16) * 1.5
     base = np.stack([np.arange(L) * 3.8, np.zeros(L), np.zeros(L)], axis=-1)
     cx, sx = np.cos(angles[..., 0]), np.sin(angles[..., 0])
     cy, sy = np.cos(angles[..., 1]), np.sin(angles[..., 1])
@@ -147,15 +209,24 @@ def synthetic_rotamer_trajectory(
             basins = _PSI_BASINS if ti == 2 else _CHI_BASINS
             nb = len(basins)
             # per-torsion equilibrium occupancy + slow jump kinetics
-            probs = rng.dirichlet(np.full(nb, 2.0))
-            dwell = float(np.exp(rng.uniform(np.log(50.0), np.log(500.0))))
+            if replayed is not None:
+                probs, dwell = replayed[(li, ti)]
+            else:
+                probs = rng.dirichlet(np.full(nb, 2.0))
+                dwell = float(
+                    np.exp(rng.uniform(np.log(50.0), np.log(500.0)))
+                )
+            if _dist_out is not None:
+                _dist_out[(li, ti)] = (probs, dwell)
             state = np.empty(T, np.int64)
-            state[0] = rng.choice(nb, p=probs)
-            u = rng.random(T)
+            state[0] = rng_path.choice(nb, p=probs)
+            u = rng_path.random(T)
             jumps = u < 1.0 / dwell
             for t in range(1, T):
-                state[t] = rng.choice(nb, p=probs) if jumps[t] else state[t - 1]
-            jitter = _ou_noise(rng, T, (), tau=10.0, sigma=0.2)
+                state[t] = (
+                    rng_path.choice(nb, p=probs) if jumps[t] else state[t - 1]
+                )
+            jitter = _ou_noise(rng_path, T, (), tau=10.0, sigma=0.2)
             tors[:, li, ti] = basins[state] + jitter
     # omega near trans, phi unconstrained smooth (neither is reconstructed)
     tors[:, :, 0] = np.pi
@@ -188,17 +259,25 @@ def write_synthetic_dataset(
     suffix: str = "",
     seed: int = 0,
     rotamers: bool = False,
+    path_seed: int | None = None,
+    replay_frames: int | None = None,
 ) -> str:
     """Write ``.npy`` memmaps + a split CSV; returns the CSV path.
 
     ``rotamers=True`` uses :func:`synthetic_rotamer_trajectory` (thermal
     multi-basin sidechain dynamics) instead of the rigid-sidechain v1
-    generator."""
+    generator. ``path_seed`` (rotamers only) resamples an independent
+    trajectory of the same per-peptide system; add ``replay_frames`` (the
+    original dataset's num_frames) to match a default-mode dataset's
+    systems exactly — see :func:`synthetic_rotamer_trajectory`."""
     os.makedirs(out_dir, exist_ok=True)
     gen = synthetic_rotamer_trajectory if rotamers else synthetic_trajectory
     rows = []
     for i, (name, seq) in enumerate(names_seqs):
-        traj = gen(seq, num_frames, seed=seed + i)
+        kw = {"path_seed": path_seed + i, "replay_frames": replay_frames} if (
+            rotamers and path_seed is not None
+        ) else {}
+        traj = gen(seq, num_frames, seed=seed + i, **kw)
         np.save(os.path.join(out_dir, f"{name}{suffix}.npy"), traj)
         rows.append(f"{name},{seq}")
     csv_path = os.path.join(out_dir, "split.csv")

@@ -150,10 +150,32 @@ class LatentMDGenLayer(nn.Module):
         # modulate outputs materialize in the compute dtype: the consumer
         # matmuls cast anyway, and a bf16 store halves the HBM traffic of the
         # LN+modulate fusion (measured 13% of the sampling step at f32)
-        residual = x
-        h = modulate(mha_norm(x), sh_l, sc_l).astype(dt)
-        h = mha_l(h, mask, axis=2)
-        x = residual + g_l[:, None] * h
+        use_fused = (
+            cfg.fused_block
+            and not self.is_initializing()
+            and not (cfg.dropout > 0.0 and self.has_rng("dropout"))
+        )
+        if use_fused:
+            # one Pallas kernel for the whole sublayer (ops/fused_block.py);
+            # reads mha_l's own params — identical tree, forward-only. The
+            # residue mask is frame-constant by construction (run_ipa relies
+            # on the same invariant), so one [B, L] slice drives all frames.
+            from ..ops import fused_l_sublayer
+
+            p = self.variables["params"]["mha_l"]
+            x = fused_l_sublayer(
+                x, sh_l, sc_l, g_l, mask[:, 0],
+                p["qkv_proj"]["kernel"], p["qkv_proj"]["bias"],
+                p["bias_k"].reshape(-1), p["bias_v"].reshape(-1),
+                p["out_proj"]["kernel"], p["out_proj"]["bias"],
+                num_heads=cfg.mha_heads, use_rope=not cfg.no_rope,
+                compute_dtype=dt,
+            )
+        else:
+            residual = x
+            h = modulate(mha_norm(x), sh_l, sc_l).astype(dt)
+            h = mha_l(h, mask, axis=2)
+            x = residual + g_l[:, None] * h
 
         # frame-axis attention (axis 1; residues batch) or Hyena
         residual = x

@@ -144,9 +144,13 @@ def _inference_param_cast(cfg: MDGenConfig, params):
 class MDGenRuntime:
     def __init__(self, cfg: MDGenConfig, mesh=None):
         self.cfg = cfg
-        self.model = LatentMDGenModel(cfg, cfg.latent_dim, mesh=mesh)
+        # training model: fused_block is forward-only, keep it off here
+        self.model = LatentMDGenModel(
+            cfg.replace(fused_block=False), cfg.latent_dim, mesh=mesh
+        )
         # Inference twin: same parameters, Pallas flash attention on the
-        # frame axis (forward-only kernel; sampling never differentiates).
+        # frame axis and (when cfg.fused_block) the fused residue-attention
+        # sublayer kernel (forward-only; sampling never differentiates).
         inf_cfg = (
             cfg.replace(attn_impl="flash")
             if cfg.attn_impl == "auto" and jax.default_backend() == "tpu"

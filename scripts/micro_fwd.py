@@ -24,6 +24,8 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--trace", type=str, default=None)
+    p.add_argument("--fused_block", action="store_true",
+                   help="fused residue-attention sublayer Pallas kernel")
     args = p.parse_args()
 
     from mdgen_tpu.config import MDGenConfig
@@ -39,6 +41,7 @@ def main():
         abs_time_emb=True, crop=4, num_frames=100,
         sampling_method="euler", inference_steps=100,
         precision="bf16-mixed", batch_size=B,
+        fused_block=args.fused_block,
     )
     rt = MDGenRuntime(cfg)
     traj = synthetic_trajectory("ACDE", cfg.num_frames, seed=0)[None]

@@ -32,6 +32,10 @@ def parse_args():
     p.add_argument("--xtc", action="store_true",
                    help="superpose to frame 0 and write XTC + frame-0 PDB "
                         "(reference sim_inference.py:121-125)")
+    p.add_argument("--fused_block", action="store_true",
+                   help="run the denoiser's residue-attention sublayer as "
+                        "one fused Pallas kernel per layer (TPU, "
+                        "forward-only; ops/fused_block.py)")
     return p.parse_args()
 
 
@@ -44,6 +48,8 @@ def main():
     from mdgen_tpu.runtime import MDGenRuntime, checkpoint
 
     cfg = checkpoint.load_config(args.sim_ckpt)
+    if args.fused_block:
+        cfg = cfg.replace(fused_block=True)
     rt = MDGenRuntime(cfg)
 
     df = pd.read_csv(args.split, index_col="name")

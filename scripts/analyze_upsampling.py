@@ -23,6 +23,11 @@ parser.add_argument("--nlag", type=int, default=1000)
 parser.add_argument("--pdb_id", nargs="*", default=[])
 parser.add_argument("--save", action="store_true")
 parser.add_argument("--save_name", type=str, default="upsampling_out.pkl")
+parser.add_argument("--plot", action="store_true",
+                    help="write {pdbdir}/{name}_decorr.pdf: sidechain/"
+                         "backbone autocorrelation panels — MD solid, "
+                         "naive subsample scatter, generated dashed "
+                         "(reference scripts/analyze_upsampling.py:31-57)")
 args = parser.parse_args()
 
 from mdgen_tpu.analysis.featurize import torsion_angles  # noqa: E402
@@ -61,7 +66,44 @@ def main(name):
                                           len(sub_ang) - 2)
                 ).astype(np.float16),
             }
+
+    if args.plot:
+        make_plot(name, out)
     return name, out
+
+
+def make_plot(name, out):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    colors = plt.rcParams["axes.prop_cycle"].by_key()["color"]
+    fig, axs = plt.subplots(1, 2, figsize=(10, 5))
+    for ax, section, title in (
+        (axs[0], "sidechain", "sidechains"),
+        (axs[1], "backbone", "backbone"),
+    ):
+        for i, (key, d) in enumerate(sorted(out[section].items())):
+            c = colors[i % len(colors)]
+            truth = np.asarray(d["truth"], np.float32)[1:]
+            ax.plot(1 + np.arange(len(truth)), truth, color=c)
+            naive = np.asarray(d["naive"], np.float32)[1:]
+            ax.scatter(args.cond_interval * (1 + np.arange(len(naive))),
+                       naive, color=c, label=key, s=12)
+            gen = np.asarray(d["gen"], np.float32)[1:]
+            ax.plot(1 + np.arange(len(gen)), gen, color=c, linestyle="--")
+        ax.set_title(f"{name} {title}")
+        ax.set_xscale("log")
+        ax.set_xlabel("frames")
+        ax.set_ylabel("autocorrelation")
+        ax.legend(loc="upper center", bbox_to_anchor=(0.5, -0.12),
+                  ncol=3, fontsize=6)
+    fig.tight_layout()
+    path = os.path.join(args.pdbdir, f"{name}_decorr.pdf")
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+    print("plot ->", path)
 
 
 if args.pdb_id:

@@ -139,40 +139,6 @@ def main(name):
             traj_tica[:, 0], 1 if args.ito else 1000, adjusted=True, demean=False
         ).astype(np.float16)
 
-    if args.plot:
-        import matplotlib
-
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        fig, axs = plt.subplots(2, 3, figsize=(16, 9))
-        for i in range(min(n_feats, 8)):
-            bins = np.linspace(-np.pi, np.pi, 61)
-            axs[0, 0].hist(ref_ang[:, i], bins=bins, histtype="step")
-            axs[0, 1].hist(traj_ang[:, i], bins=bins, histtype="step")
-        axs[0, 0].set_title("torsion marginals (MD)")
-        axs[0, 1].set_title("torsion marginals (ours)")
-        if not args.no_decorr:
-            for i, feat in enumerate(feat_names):
-                curve = out["md_decorrelation"][feat].astype(np.float64)
-                axs[0, 2].plot(1 + np.arange(len(curve)), curve, lw=0.8)
-            axs[0, 2].set_xscale("log")
-            axs[0, 2].set_title("MD torsion decorrelation")
-        for ax, data, title in [
-            (axs[1, 0], ref_tica, "TICA FES (MD)"),
-            (axs[1, 1], traj_tica, "TICA FES (ours)"),
-        ]:
-            h, xe, ye = np.histogram2d(data[:, 0], data[:, 1], bins=50)
-            with np.errstate(divide="ignore"):
-                F = -np.log(h.T / h.sum())
-            ax.imshow(F, origin="lower", aspect="auto",
-                      extent=[xe[0], xe[-1], ye[0], ye[-1]], cmap="viridis")
-            ax.set_title(title)
-        axs[1, 2].bar(range(len(out["JSD"])), list(out["JSD"].values()))
-        axs[1, 2].set_title("JSDs")
-        fig.savefig(f"{args.pdbdir}/{name}.pdf")
-        plt.close(fig)
-
     if not args.no_msm:
         try:
             kmeans = KMeans(k=100).fit(ref_tica)
@@ -211,7 +177,93 @@ def main(name):
         except Exception as e:  # noqa: BLE001 (parity: reference catches all)
             print("ERROR", e, name, flush=True)
 
+    if args.plot:
+        make_plot(name, out, feat_names, ref_ang, traj_ang,
+                  ref_tica, traj_tica)
     return name, out
+
+
+def make_plot(name, out, feat_names, ref_ang, traj_ang, ref_tica, traj_tica):
+    """4x4 figure mirroring the reference's panel layout (reference
+    `scripts/analyze_peptide_sim.py:31-149`): overlaid torsion feature
+    histograms, backbone/sidechain decorrelation for MD and generated
+    (baseline-normalized as in the reference), TICA autocorrelation, TICA
+    free-energy surfaces, plus metastable occupancies / transition matrices
+    / JSD bars from the MSM section."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    colors = plt.rcParams["axes.prop_cycle"].by_key()["color"]
+    fig, axs = plt.subplots(4, 4, figsize=(20, 20))
+    bins = np.linspace(-np.pi, np.pi, 61)
+
+    bb = [i for i, f in enumerate(feat_names) if "CHI" not in f]
+    sc = [i for i, f in enumerate(feat_names) if "CHI" in f]
+    for ax, idxs, title in (
+        (axs[0, 0], bb, "BB torsions"),
+        (axs[1, 0], sc, "Sidechain torsions"),
+    ):
+        for i in idxs:
+            ax.hist(ref_ang[:, i], bins=bins, histtype="step",
+                    color=colors[0], density=True)
+            ax.hist(traj_ang[:, i], bins=bins, histtype="step",
+                    color=colors[1], density=True)
+        ax.set_title(f"{title} (MD={colors[0]}, ours={colors[1]})")
+
+    # the stored curves are already baseline-normalized
+    # (metrics.torsion_decorrelation_curve == reference semantics)
+    if "md_decorrelation" in out:
+        for row, key in ((0, "md_decorrelation"), (1, "our_decorrelation")):
+            for j, idxs, title in ((1, bb, "Backbone"), (2, sc, "Sidechain")):
+                ax = axs[row, j]
+                for ci, i in enumerate(idxs):
+                    c = np.asarray(out[key][feat_names[i]], np.float64)
+                    ax.plot(1 + np.arange(len(c)), c,
+                            color=colors[ci % len(colors)], lw=0.8)
+                ax.set_xscale("log")
+                src = "MD" if row == 0 else "ours"
+                ax.set_title(f"{title} decorrelation ({src})")
+            tc = np.asarray(out[key]["tica"], np.float64)
+            axs[row, 3].plot(tc)
+            axs[row, 3].set_title("MD TICA" if row == 0 else "Traj TICA")
+
+    for ax, data, title in [
+        (axs[2, 0], ref_tica[::10], "TICA FES (MD)"),
+        (axs[2, 1], traj_tica, "TICA FES (ours)"),
+    ]:
+        h, xe, ye = np.histogram2d(data[:, 0], data[:, 1], bins=50)
+        with np.errstate(divide="ignore"):
+            F = -np.log(h.T / h.sum())
+        ax.imshow(F, origin="lower", aspect="auto",
+                  extent=[xe[0], xe[-1], ye[0], ye[-1]],
+                  cmap="nipy_spectral")
+        ax.set_title(title)
+
+    if "ref_metastable_probs" in out:
+        x = np.arange(10)
+        axs[2, 2].bar(x - 0.2, out["ref_metastable_probs"], 0.4, label="MD")
+        axs[2, 2].bar(x + 0.2, out["traj_metastable_probs"], 0.4,
+                      label="ours")
+        axs[2, 2].set_title("metastable occupancies")
+        axs[2, 2].legend()
+    if "msm_transition_matrix" in out:
+        axs[3, 0].imshow(out["msm_transition_matrix"], cmap="viridis")
+        axs[3, 0].set_title("MSM transition matrix (MD)")
+    if "traj_transition_matrix" in out:
+        axs[3, 1].imshow(out["traj_transition_matrix"], cmap="viridis")
+        axs[3, 1].set_title("MSM transition matrix (ours)")
+
+    jsd = out["JSD"]
+    axs[3, 2].bar(range(len(jsd)), list(jsd.values()))
+    axs[3, 2].set_title("JSDs")
+    axs[2, 3].axis("off")
+    axs[3, 3].axis("off")
+
+    fig.tight_layout()
+    fig.savefig(f"{args.pdbdir}/{name}.pdf")
+    plt.close(fig)
 
 
 if args.pdb_id:

@@ -15,6 +15,7 @@ shape x ~100 dopri5 NFE per 100-frame trajectory ≈ 650 frames/s. Replace with
 a measured value when one exists.
 """
 import json
+import subprocess
 import sys
 import time
 
@@ -23,6 +24,30 @@ import numpy as np
 
 A100_BASELINE_FRAMES_PER_SEC = 650.0
 
+
+def wait_for_devices(tries: int = 4, probe_timeout: int = 120) -> None:
+    """A wedged axon tunnel makes jax.devices() BLOCK forever (observed:
+    the relay process dying mid-run leaves connects refused/hanging). Probe
+    in throwaway subprocesses with a timeout so bench.py either proceeds or
+    fails fast with a JSON line instead of hanging past the driver's
+    patience."""
+    for i in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; assert jax.devices()"],
+                timeout=probe_timeout, capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if i < tries - 1:
+            time.sleep(60)
+    raise RuntimeError(
+        f"TPU runtime unreachable after {tries} probes "
+        f"({probe_timeout}s timeout each)"
+    )
+
 NUM_FRAMES = 100
 EULER_STEPS = 100
 BATCH = 1
@@ -30,6 +55,8 @@ SEQ = "ACDE"
 
 
 def main():
+    wait_for_devices()
+
     from mdgen_tpu.config import MDGenConfig
     from mdgen_tpu.data import synthetic_trajectory
     from mdgen_tpu.geometry import constants as rc

@@ -67,6 +67,9 @@ def main():
     p.add_argument("--train_extra", type=str, default="",
                    help="extra flags appended to the train.py invocation, "
                         "e.g. --train_extra '--ema --grad_checkpointing'")
+    p.add_argument("--analyze_extra", type=str, default="",
+                   help="extra flags appended to the analysis invocation, "
+                        "e.g. --analyze_extra='--plot --repdir /tmp/reps'")
     p.add_argument("--skip_train", action="store_true",
                    help="reuse an existing checkpoint in --out")
     args = p.parse_args()
@@ -143,6 +146,7 @@ def main():
             sys.executable, "scripts/analyze_upsampling.py",
             "--mddir", data_dir, "--pdbdir", samp_dir,
             "--cond_interval", "10", "--nlag", "100", "--save",
+            *__import__("shlex").split(args.analyze_extra),
         ], env={"JAX_PLATFORMS": "cpu"})
         print("QUALITY RUN OK", flush=True)
         return
@@ -160,6 +164,7 @@ def main():
         run([
             sys.executable, "scripts/analyze_peptide_tps.py",
             "--mddir", data_dir, "--pdbdir", samp_dir, "--save",
+            *__import__("shlex").split(args.analyze_extra),
         ], env={"JAX_PLATFORMS": "cpu"})
         print("QUALITY RUN OK", flush=True)
         return
@@ -178,6 +183,7 @@ def main():
         run([
             sys.executable, "scripts/analyze_peptide_design.py",
             "--pdbdir", samp_dir,
+            *__import__("shlex").split(args.analyze_extra),
         ], env={"JAX_PLATFORMS": "cpu"})
         print("QUALITY RUN OK", flush=True)
         return
@@ -196,6 +202,7 @@ def main():
         "--mddir", data_dir, "--pdbdir", samp_dir,
         "--save", "--no_msm", "--no_decorr", "--tica_lag", "100",
         "--save_name", "out.pkl", "--split", split,
+        *__import__("shlex").split(args.analyze_extra),
     ], env={"JAX_PLATFORMS": "cpu"})
 
     with open(os.path.join(samp_dir, "out.pkl"), "rb") as fh:

@@ -196,13 +196,25 @@ class LatentMDGenLayer(nn.Module):
         x = residual + g_t[:, None] * h
 
         # MLP
+        # the LN here is named final_layer_norm and fc1/fc2 params must
+        # exist regardless of the fused path, so declare the modules first
+        mlp_norm = nn.LayerNorm(use_bias=False, use_scale=False,
+                                epsilon=1e-6, name="final_layer_norm")
+        fc1 = _dense(4 * C, "fc1", dtype=dt)
+        fc2 = _dense(C, "fc2", dtype=dt)
+        if use_fused:
+            from ..ops import fused_ffn_sublayer
+
+            p = self.variables["params"]
+            return fused_ffn_sublayer(
+                x, sh_m, sc_m, g_m,
+                p["fc1"]["kernel"], p["fc1"]["bias"],
+                p["fc2"]["kernel"], p["fc2"]["bias"],
+                compute_dtype=dt,
+            )
         residual = x
-        h = modulate(
-            nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6,
-                         name="final_layer_norm")(x),
-            sh_m, sc_m,
-        ).astype(dt)
-        h = _dense(C, "fc2", dtype=dt)(gelu(_dense(4 * C, "fc1", dtype=dt)(h)))
+        h = modulate(mlp_norm(x), sh_m, sc_m).astype(dt)
+        h = fc2(gelu(fc1(h)))
         return residual + g_m[:, None] * h
 
 

@@ -143,3 +143,63 @@ def test_model_forward_fused_matches_unfused(tol=2e-4):
         np.asarray(out_fused), np.asarray(out), rtol=tol, atol=tol
     )
     assert float(jnp.abs(out).max()) > 1e-3  # non-degenerate
+
+
+def _ffn_setup(B=2, T=10, L=4, C=64, seed=0, dtype=jnp.float32):
+    from mdgen_tpu.models.layers import gelu
+
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, T, L, C)), jnp.float32)
+    sh = jnp.asarray(rng.normal(size=(B, 1, C)) * 0.1, jnp.float32)
+    sc = jnp.asarray(rng.normal(size=(B, 1, C)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, 1, C)) * 0.5, jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(C, 4 * C)) * 0.05, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(4 * C,)) * 0.05, jnp.float32)
+    w2 = jnp.asarray(rng.normal(size=(4 * C, C)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(C,)) * 0.05, jnp.float32)
+    h = modulate(
+        (x - x.mean(-1, keepdims=True))
+        * jax.lax.rsqrt(x.var(-1, keepdims=True) + 1e-6),
+        sh, sc,
+    ).astype(dtype)
+    y_ref = x + g[:, None] * (
+        gelu(h @ w1.astype(dtype) + b1) @ w2.astype(dtype) + b2
+    ).astype(jnp.float32)
+    return x, sh, sc, g, (w1, b1, w2, b2), y_ref
+
+
+@pytest.mark.parametrize("interpret", [False, True])
+def test_fused_ffn_matches_module_f32(interpret):
+    from mdgen_tpu.ops import fused_ffn_sublayer
+
+    x, sh, sc, g, ws, y_ref = _ffn_setup()
+    y = fused_ffn_sublayer(
+        x, sh, sc, g, *ws, compute_dtype=jnp.float32,
+        interpret=interpret, block_t=4,
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_ffn_bf16_close():
+    from mdgen_tpu.ops import fused_ffn_sublayer
+
+    x, sh, sc, g, ws, y_ref = _ffn_setup(dtype=jnp.bfloat16)
+    y = fused_ffn_sublayer(
+        x, sh, sc, g, *ws, compute_dtype=jnp.bfloat16,
+        interpret=True, block_t=8,
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_fused_ffn_partial_tail_block():
+    from mdgen_tpu.ops import fused_ffn_sublayer
+
+    x, sh, sc, g, ws, y_ref = _ffn_setup(T=10)
+    y = fused_ffn_sublayer(
+        x, sh, sc, g, *ws, compute_dtype=jnp.float32,
+        interpret=True, block_t=7,
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)

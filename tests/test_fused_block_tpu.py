@@ -46,3 +46,18 @@ def test_model_forward_fused_on_chip():
     import test_fused_block as tfb
 
     tfb.test_model_forward_fused_matches_unfused(tol=5e-2)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_ffn_on_chip(dtype):
+    from test_fused_block import _ffn_setup
+
+    from mdgen_tpu.ops import fused_ffn_sublayer
+
+    x, sh, sc, g, ws, y_ref = _ffn_setup(T=100, L=4, C=384, dtype=dtype)
+    y = fused_ffn_sublayer(
+        x, sh, sc, g, *ws, compute_dtype=dtype, block_t=64, interpret=False,
+    )
+    tol = 2e-2 if dtype == jnp.float32 else 0.05
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=tol, atol=tol)

@@ -154,6 +154,10 @@ class LatentMDGenLayer(nn.Module):
             cfg.fused_block
             and not self.is_initializing()
             and not (cfg.dropout > 0.0 and self.has_rng("dropout"))
+            # pallas_call has no GSPMD partition rule: under an sp-sharded
+            # frame axis the fused kernels would force a gather/replicate
+            # (same reason allow_flash_t gates the flash path)
+            and self.allow_flash_t
         )
         if use_fused:
             # one Pallas kernel for the whole sublayer (ops/fused_block.py);

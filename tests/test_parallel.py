@@ -257,3 +257,23 @@ def test_two_process_distributed_matches_single_process():
     ]
     assert losses[0] == losses[1]
     np.testing.assert_allclose(losses[0], ref_loss, rtol=2e-4)
+
+
+def test_fused_block_under_sp_mesh_matches_single_device():
+    """cfg.fused_block + sp>1: the layer must gate the Pallas path off
+    (pallas_call has no GSPMD rule) and still produce single-device
+    results; under a dp-only mesh the fused (fallback) path stays on."""
+    cfg = tiny_cfg(sp_size=2, dp_size=4).replace(fused_block=True)
+    mesh = make_mesh(dp_size=4, tp_size=1, sp_size=2)
+    rt = MDGenRuntime(cfg, mesh=mesh)
+    batch = make_raw_batch(cfg, B=4)
+    sharded = shard_batch(mesh, batch)
+    state = rt.init(jax.random.PRNGKey(0), sharded)
+    atom14, _ = rt.inference(state.params, sharded, jax.random.PRNGKey(2))
+
+    rt1 = MDGenRuntime(tiny_cfg())
+    state1 = rt1.init(jax.random.PRNGKey(0), batch)
+    atom14_1, _ = rt1.inference(state1.params, batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(
+        np.asarray(atom14), np.asarray(atom14_1), atol=2e-2
+    )

@@ -327,3 +327,19 @@ def test_training_loss_parity(rng):
         pred = ours.apply({"params": params}, xt, jnp.asarray(t), **jkw)
         our_loss = mean_flat((pred - ut) ** 2, jnp.asarray(loss_mask))
     np.testing.assert_allclose(ref_loss, np.asarray(our_loss), rtol=2e-4, atol=2e-5)
+
+
+def test_forward_parity_sim_fused_kernels(rng):
+    """Golden parity with cfg.fused_block=True: the fused serving sublayers
+    (ops/fused_block.py attention + ops/fused_ffn.py MLP, pure-JAX fallback
+    math on CPU) must reproduce the ported TORCH reference forward, not
+    just our own unfused graph."""
+    cfg = _tiny_cfg(sim_condition=True)
+    ref, _, params = _make_pair(cfg)
+    fused = LatentMDGenModel(cfg.replace(fused_block=True), cfg.latent_dim)
+    i = _inputs(cfg, rng)
+    _assert_close(
+        _ref_forward(ref, cfg, i),
+        _our_forward(fused, params, cfg, i),
+        atol=1e-3,
+    )

@@ -31,6 +31,9 @@ def parse_args():
     p.add_argument("--seed", type=int, default=137)
     p.add_argument("--tica_lag", type=int, default=1000)
     p.add_argument("--msm_lag", type=int, default=1000)
+    p.add_argument("--fused_block", action="store_true",
+                   help="fused Pallas serving kernels (TPU, forward-only; "
+                        "ops/fused_block.py + ops/fused_ffn.py)")
     return p.parse_args()
 
 
@@ -46,6 +49,8 @@ def main():
     from mdgen_tpu.runtime import MDGenRuntime, checkpoint
 
     cfg = checkpoint.load_config(args.sim_ckpt)
+    if args.fused_block:
+        cfg = cfg.replace(fused_block=True)
     rt = MDGenRuntime(cfg)
     rng = np.random.default_rng(args.seed)
     jkey = jax.random.PRNGKey(args.seed)

@@ -33,6 +33,9 @@ def parse_args():
     p.add_argument("--xtc", action="store_true",
                    help="superpose each path to its frame 0 and write XTC + "
                         "frame-0 PDB (reference tps_inference.py:135-141)")
+    p.add_argument("--fused_block", action="store_true",
+                   help="fused Pallas serving kernels (TPU, forward-only; "
+                        "ops/fused_block.py + ops/fused_ffn.py)")
     return p.parse_args()
 
 
@@ -48,6 +51,8 @@ def main():
     from mdgen_tpu.runtime import MDGenRuntime, checkpoint
 
     cfg = checkpoint.load_config(args.sim_ckpt)
+    if args.fused_block:
+        cfg = cfg.replace(fused_block=True)
     assert cfg.tps_condition, "checkpoint was not trained with --tps_condition"
     rt = MDGenRuntime(cfg)
     rng = np.random.default_rng(args.seed)

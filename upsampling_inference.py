@@ -24,6 +24,9 @@ def parse_args():
     p.add_argument("--xtc", action="store_true",
                    help="superpose to frame 0 and write XTC + frame-0 PDB "
                         "(reference upsampling_inference.py:85-89)")
+    p.add_argument("--fused_block", action="store_true",
+                   help="fused Pallas serving kernels (TPU, forward-only; "
+                        "ops/fused_block.py + ops/fused_ffn.py)")
     return p.parse_args()
 
 
@@ -39,6 +42,8 @@ def main():
     from mdgen_tpu.runtime import MDGenRuntime, checkpoint, tokenize_atom14
 
     cfg = checkpoint.load_config(args.ckpt)
+    if args.fused_block:
+        cfg = cfg.replace(fused_block=True)
     assert cfg.cond_interval, "checkpoint was not trained with --cond_interval"
     rt = MDGenRuntime(cfg)
     tokenize = jax.jit(tokenize_atom14)

@@ -34,6 +34,11 @@ def parse_args():
     p.add_argument("--fused_block", action="store_true",
                    help="fused Pallas serving kernels (TPU, forward-only; "
                         "ops/fused_block.py + ops/fused_ffn.py)")
+    p.add_argument("--dirichlet_flow_temp", type=float, default=None,
+                   help="override the checkpoint's Dirichlet-flow sampling "
+                        "temperature (reference stores it train-time only, "
+                        "mdgen/parsing.py:105; sampling-time sweep needs no "
+                        "retrain)")
     return p.parse_args()
 
 
@@ -51,6 +56,8 @@ def main():
     cfg = checkpoint.load_config(args.sim_ckpt)
     if args.fused_block:
         cfg = cfg.replace(fused_block=True)
+    if args.dirichlet_flow_temp is not None:
+        cfg = cfg.replace(dirichlet_flow_temp=args.dirichlet_flow_temp)
     rt = MDGenRuntime(cfg)
     rng = np.random.default_rng(args.seed)
     jkey = jax.random.PRNGKey(args.seed)

@@ -167,6 +167,36 @@ def test_design_inference_runs_dirichlet_flow():
     assert aa.min() >= 0 and aa.max() < 20
 
 
+def test_dirichlet_flow_temp_changes_design_sampling():
+    """`dirichlet_flow_temp` rescales the logits->simplex softmax inside the
+    Dirichlet flow (models/latent_model.py:429); design_inference exposes a
+    sampling-time override (--dirichlet_flow_temp). Same params + same key
+    must be deterministic at fixed temp and diverge across temps (the
+    simplex channels feed back into the denoiser input every ODE step)."""
+    kw = dict(
+        sim_condition=False,
+        inpainting=True,
+        design=True,
+        ema=False,
+        inference_steps=3,
+    )
+    cfg1 = tiny_cfg(**kw)
+    cfg2 = tiny_cfg(dirichlet_flow_temp=0.05, **kw)
+    batch = make_raw_batch(cfg1)
+    rt1, rt2 = MDGenRuntime(cfg1), MDGenRuntime(cfg2)
+    state = rt1.init(jax.random.PRNGKey(0), batch)
+    # the design head is adaLN-zero style: at init the logits are exactly 0
+    # and softmax(0/temp) is uniform at ANY temp — train one step so the
+    # temperature has something to act on
+    state, _ = rt1.train_step(state, batch, jax.random.PRNGKey(1))
+
+    a1, _ = rt1.inference(state.params, batch, jax.random.PRNGKey(2))
+    a1b, _ = rt1.inference(state.params, batch, jax.random.PRNGKey(2))
+    a2, _ = rt2.inference(state.params, batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a1b))
+    assert not np.allclose(np.asarray(a1), np.asarray(a2))
+
+
 def test_no_frames_mode_trains_and_samples():
     """Raw-atom37 ablation: latents are flat coordinates (latent_dim 111)."""
     cfg = tiny_cfg(no_frames=True, prepend_ipa=False, abs_pos_emb=True,

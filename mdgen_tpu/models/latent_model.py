@@ -181,23 +181,41 @@ class LatentMDGenLayer(nn.Module):
             h = mha_l(h, mask, axis=2)
             x = residual + g_l[:, None] * h
 
-        # frame-axis attention (axis 1; residues batch) or Hyena
-        residual = x
-        h = modulate(mha_norm(x), sh_t, sc_t).astype(dt)
-        if cfg.hyena:
-            h_t = jnp.swapaxes(h, 1, 2).reshape(B * L, T, C)
-            h_t = HyenaOperator(
-                d_model=C, l_max=cfg.num_frames, order=2, filter_order=64,
-                name="mha_t",
-            )(h_t)
-            h = jnp.swapaxes(h_t.reshape(B, L, T, C), 1, 2)
+        # frame-axis attention (axis 1; residues batch) or Hyena.
+        # Fused T-kernel gate: only where the residue axis is lane-starved
+        # (small L — at L >= 16 XLA's dense path tiles the MXU fine) and T
+        # fits one VMEM-resident program (ops/fused_t_block.py).
+        use_fused_t = use_fused and not cfg.hyena and L <= 16 and T <= 1024
+        if use_fused_t:
+            from ..ops import fused_t_sublayer
+
+            p = self.variables["params"]["mha_t"]
+            x = fused_t_sublayer(
+                x, sh_t, sc_t, g_t, mask[:, 0],
+                p["qkv_proj"]["kernel"], p["qkv_proj"]["bias"],
+                p["bias_k"].reshape(-1), p["bias_v"].reshape(-1),
+                p["out_proj"]["kernel"], p["out_proj"]["bias"],
+                num_heads=cfg.mha_heads, use_rope=not cfg.no_rope,
+                compute_dtype=dt,
+            )
         else:
-            h = RoPEAttention(C, cfg.mha_heads, use_rope=not cfg.no_rope,
-                              impl=cfg.attn_impl, dtype=dt,
-                              dropout_rate=cfg.dropout,
-                              allow_flash=self.allow_flash_t,
-                              name="mha_t")(h, mask, axis=1)
-        x = residual + g_t[:, None] * h
+            residual = x
+            h = modulate(mha_norm(x), sh_t, sc_t).astype(dt)
+            if cfg.hyena:
+                h_t = jnp.swapaxes(h, 1, 2).reshape(B * L, T, C)
+                h_t = HyenaOperator(
+                    d_model=C, l_max=cfg.num_frames, order=2,
+                    filter_order=64, name="mha_t",
+                )(h_t)
+                h = jnp.swapaxes(h_t.reshape(B, L, T, C), 1, 2)
+            else:
+                h = RoPEAttention(C, cfg.mha_heads,
+                                  use_rope=not cfg.no_rope,
+                                  impl=cfg.attn_impl, dtype=dt,
+                                  dropout_rate=cfg.dropout,
+                                  allow_flash=self.allow_flash_t,
+                                  name="mha_t")(h, mask, axis=1)
+            x = residual + g_t[:, None] * h
 
         # MLP
         # the LN here is named final_layer_norm and fc1/fc2 params must

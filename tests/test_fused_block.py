@@ -145,6 +145,75 @@ def test_model_forward_fused_matches_unfused(tol=2e-4):
     assert float(jnp.abs(out).max()) > 1e-3  # non-degenerate
 
 
+def _setup_t(B=2, T=12, L=4, C=64, H=8, seed=0, dtype=jnp.float32,
+             use_rope=True):
+    """Unfused reference for the frame-axis (T) attention sublayer."""
+    from mdgen_tpu.ops.fused_t_block import fused_t_sublayer
+
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(B, T, L, C)), jnp.float32)
+    sh = jnp.asarray(rng.normal(size=(B, 1, C)) * 0.1, jnp.float32)
+    sc = jnp.asarray(rng.normal(size=(B, 1, C)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B, 1, C)) * 0.5, jnp.float32)
+    mask = np.ones((B, L), np.float32)
+    mask[1, -1] = 0.0  # one padded residue in batch row 1
+    mask = jnp.asarray(mask)
+
+    mask3 = jnp.broadcast_to(mask[:, None], (B, T, L))
+    mha = RoPEAttention(C, H, use_rope=use_rope, dtype=dtype)
+    h = modulate(
+        (x - x.mean(-1, keepdims=True))
+        * jax.lax.rsqrt(x.var(-1, keepdims=True) + 1e-6),
+        sh, sc,
+    ).astype(dtype)
+    params = mha.init(jax.random.PRNGKey(1), h, mask3, axis=1)
+    y_ref = x + g[:, None] * mha.apply(params, h, mask3, axis=1).astype(
+        jnp.float32
+    )
+
+    p = params["params"]
+    arrays = dict(
+        qkv_w=p["qkv_proj"]["kernel"], qkv_b=p["qkv_proj"]["bias"],
+        bias_k=p["bias_k"].reshape(-1), bias_v=p["bias_v"].reshape(-1),
+        out_w=p["out_proj"]["kernel"], out_b=p["out_proj"]["bias"],
+    )
+    return fused_t_sublayer, x, sh, sc, g, mask, arrays, y_ref, H
+
+
+@pytest.mark.parametrize("interpret", [False, True])
+def test_fused_t_matches_unfused_f32(interpret):
+    """Fallback (pure-JAX) and Pallas-interpret paths vs the module chain
+    (RoPEAttention over axis=1, incl. the padded-residue mask and the
+    bias token)."""
+    fn, x, sh, sc, g, mask, arrays, y_ref, H = _setup_t()
+    y = fn(
+        x, sh, sc, g, mask, **arrays, num_heads=H,
+        compute_dtype=jnp.float32, interpret=interpret,
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_t_bf16_close():
+    fn, x, sh, sc, g, mask, arrays, y_ref, H = _setup_t(dtype=jnp.bfloat16)
+    y = fn(
+        x, sh, sc, g, mask, **arrays, num_heads=H,
+        compute_dtype=jnp.bfloat16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=0.05, atol=0.05)
+
+
+def test_fused_t_no_rope():
+    fn, x, sh, sc, g, mask, arrays, y_ref, H = _setup_t(use_rope=False)
+    y = fn(
+        x, sh, sc, g, mask, **arrays, num_heads=H, use_rope=False,
+        compute_dtype=jnp.float32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def _ffn_setup(B=2, T=10, L=4, C=64, seed=0, dtype=jnp.float32):
     from mdgen_tpu.models.layers import gelu
 

@@ -49,6 +49,22 @@ def test_model_forward_fused_on_chip():
 
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_t_on_chip(dtype):
+    from test_fused_block import _setup_t
+
+    fn, x, sh, sc, g, mask, arrays, y_ref, H = _setup_t(
+        T=100, L=4, C=384, H=16, dtype=dtype
+    )
+    y = fn(
+        x, sh, sc, g, mask, **arrays, num_heads=H,
+        compute_dtype=dtype, interpret=False,
+    )
+    tol = 2e-2 if dtype == jnp.float32 else 0.05
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=tol, atol=tol)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
 def test_fused_ffn_on_chip(dtype):
     from test_fused_block import _ffn_setup
 

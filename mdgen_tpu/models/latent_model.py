@@ -158,6 +158,11 @@ class LatentMDGenLayer(nn.Module):
             # frame axis the fused kernels would force a gather/replicate
             # (same reason allow_flash_t gates the flash path)
             and self.allow_flash_t
+            # the fused kernels target the lane-starved peptide regime;
+            # at large L the L-kernel's [rows, L, L, C] product and the
+            # FFN kernel's [rows, L, 4C] hidden blow the VMEM budget, and
+            # XLA's dense path tiles the MXU fine anyway — gate off
+            and L <= 16
         )
         if use_fused:
             # one Pallas kernel for the whole sublayer (ops/fused_block.py);

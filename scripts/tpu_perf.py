@@ -192,7 +192,8 @@ def bench_atlas(args):
     from mdgen_tpu.runtime import MDGenRuntime
 
     cfg = _cfg(crop=256, num_frames=250, atlas=True, batch_size=1,
-               grad_checkpointing=True, inference_steps=args.atlas_steps)
+               grad_checkpointing=True, inference_steps=args.atlas_steps,
+               fused_block=args.fused_block)
     rt = MDGenRuntime(cfg)
     seq = "A" * 256
     batch = _batch(cfg, 1, seq=seq)
@@ -265,6 +266,10 @@ def main():
     p.add_argument("--train_batch", type=int, default=1)
     p.add_argument("--attn_impl", type=str, default="auto",
                    choices=["auto", "dense", "chunked", "flash"])
+    p.add_argument("--fused_block", action="store_true",
+                   help="fused Pallas serving sublayers (atlas bench; at "
+                        "L=256 only the L-attention + FFN kernels apply — "
+                        "the T kernel gates itself off above L=16)")
     args = p.parse_args()
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
     dict(batch_scaling=bench_batch_scaling, flash=bench_flash,

@@ -214,6 +214,33 @@ def test_fused_t_no_rope():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_fused_gates_off_at_large_L():
+    """ATLAS-like residue counts (L > 16) must bypass ALL fused kernels
+    (the L-kernel's [rows, L, L, C] product and the FFN hidden blow VMEM
+    at large L) — fused_block=True must be a clean no-op there."""
+    from mdgen_tpu.models import LatentMDGenModel
+    from mdgen_tpu.tasks import prep_batch
+    from test_model import make_batch, tiny_cfg
+
+    rng = np.random.default_rng(11)
+    cfg = tiny_cfg().replace(crop=24, num_frames=6)
+    model = LatentMDGenModel(cfg, cfg.latent_dim)
+    model_fused = LatentMDGenModel(
+        cfg.replace(fused_block=True), cfg.latent_dim
+    )
+    batch = make_batch(rng, cfg)
+    prep = prep_batch(cfg, batch)
+    B, T, L = 2, cfg.num_frames, cfg.crop
+    x = jnp.asarray(
+        rng.normal(size=(B, T, L, cfg.latent_dim)).astype(np.float32)
+    )
+    t = jnp.full((B,), 0.4)
+    params = model.init(jax.random.PRNGKey(0), x, t, **prep.model_kwargs)
+    out = model.apply(params, x, t, **prep.model_kwargs)
+    out_fused = model_fused.apply(params, x, t, **prep.model_kwargs)
+    np.testing.assert_array_equal(np.asarray(out_fused), np.asarray(out))
+
+
 def _ffn_setup(B=2, T=10, L=4, C=64, seed=0, dtype=jnp.float32):
     from mdgen_tpu.models.layers import gelu
 

@@ -72,6 +72,11 @@ def main():
                         "e.g. --analyze_extra='--plot --repdir /tmp/reps'")
     p.add_argument("--skip_train", action="store_true",
                    help="reuse an existing checkpoint in --out")
+    p.add_argument("--skip_data", action="store_true",
+                   help="reuse a prestaged {out}/data dir (must hold the "
+                        "same-seed dataset; generation is deterministic, "
+                        "so a copy from another run with identical "
+                        "--md_frames/peptides is exact)")
     args = p.parse_args()
 
     data_dir = os.path.join(args.out, "data")
@@ -82,12 +87,16 @@ def main():
     ckpt_root = os.path.join(REPO, "workdir", run_name)
 
     # 1. synthetic MD dataset (the "reference MD" side of the JSD)
-    from mdgen_tpu.data import write_synthetic_dataset
+    split = os.path.join(data_dir, "split.csv")
+    if args.skip_data and os.path.exists(split):
+        print("reusing prestaged dataset:", split, flush=True)
+    else:
+        from mdgen_tpu.data import write_synthetic_dataset
 
-    split = write_synthetic_dataset(
-        data_dir, [(s, s) for s in PEPTIDES], num_frames=args.md_frames,
-        seed=0, rotamers=not args.rigid_data,
-    )
+        split = write_synthetic_dataset(
+            data_dir, [(s, s) for s in PEPTIDES], num_frames=args.md_frames,
+            seed=0, rotamers=not args.rigid_data,
+        )
     if args.task == "upsampling":
         # the kept (low-framerate) trajectories the upsampler interpolates
         import numpy as np

@@ -51,12 +51,16 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     data_dir = args.data_dir or os.path.join(args.out, "data")
-    from mdgen_tpu.data import write_synthetic_dataset
+    split = os.path.join(data_dir, "split.csv")
+    if args.data_dir and os.path.exists(split):
+        print("reusing dataset:", split, flush=True)
+    else:
+        from mdgen_tpu.data import write_synthetic_dataset
 
-    split = write_synthetic_dataset(
-        data_dir, [(s, s) for s in PEPTIDES], num_frames=args.md_frames,
-        seed=0, rotamers=not args.rigid_data,
-    )
+        split = write_synthetic_dataset(
+            data_dir, [(s, s) for s in PEPTIDES], num_frames=args.md_frames,
+            seed=0, rotamers=not args.rigid_data,
+        )
 
     results = {}
     msm_dir = None  # first temp's out_dir: its MSM pickles seed the rest

@@ -72,6 +72,11 @@ def main():
                         "e.g. --analyze_extra='--plot --repdir /tmp/reps'")
     p.add_argument("--skip_train", action="store_true",
                    help="reuse an existing checkpoint in --out")
+    p.add_argument("--resume", action="store_true",
+                   help="pass --ckpt workdir/{run_name} to train.py so an "
+                        "interrupted run restores its newest step_* "
+                        "checkpoint (train.py only resumes when --ckpt is "
+                        "given explicitly)")
     p.add_argument("--skip_data", action="store_true",
                    help="reuse a prestaged {out}/data dir (must hold the "
                         "same-seed dataset; generation is deterministic, "
@@ -117,6 +122,15 @@ def main():
         # data: condition on every 10th frame instead of every 100th
         "upsampling": ["--sim_condition", "--cond_interval", "10"],
     }[args.task]
+    resume_flags = []
+    if args.resume:
+        from mdgen_tpu.runtime.checkpoint import latest_step
+
+        if latest_step(ckpt_root) is not None:
+            resume_flags = ["--ckpt", ckpt_root]
+            print("resuming from", ckpt_root, flush=True)
+        else:
+            print("no checkpoint to resume in", ckpt_root, flush=True)
     if not args.skip_train:
         run([
             sys.executable, "train.py", *task_flags, "--prepend_ipa",
@@ -135,7 +149,7 @@ def main():
             "--val_split", split,
             "--val_epoch_freq", "500", "--val_batches", "1",
             "--ckpt_freq", "1000", "--print_freq", "200",
-            "--run_name", run_name,
+            "--run_name", run_name, *resume_flags,
             *__import__("shlex").split(args.train_extra),
         ])
 

@@ -53,3 +53,33 @@ def test_persist_selects_analysis_artifacts_and_caps_size(tmp_path):
     assert summary["command"] == "c"
     assert summary["skipped_oversize"] == ["big.pkl"]
     assert set(summary["files"]) == {"metrics.json", "table.csv", "notes.txt"}
+
+
+def test_eval_protocol_summarize_grouping(tmp_path):
+    """summarize() drives the model-vs-floor tables in BENCH.md: torsion keys
+    group by first token, joint keys ("|") group as RAMA, and the headline
+    mean-torsion JSD excludes RAMA and TICA entries."""
+    import pickle
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from eval_protocol import summarize
+
+    out = {
+        "ACDE": {"JSD": {
+            "PHI 1": 0.10, "PSI 1": 0.20, "CHI1 1": 0.30,
+            "PHI 1|PSI 1": 0.50, "TICA-0": 0.40,
+        }},
+        "WYNK": {"JSD": {"PHI 1": 0.30}},
+    }
+    pkl = tmp_path / "out.pkl"
+    with open(pkl, "wb") as fh:
+        pickle.dump(out, fh)
+
+    per_type, mean_tors = summarize(str(pkl))
+    assert per_type["PHI"] == 0.20          # mean of 0.10 and 0.30
+    assert per_type["PSI"] == 0.20
+    assert per_type["CHI1"] == 0.30
+    assert per_type["RAMA"] == 0.50         # "|" keys -> joint Ramachandran
+    assert per_type["TICA-0"] == 0.40
+    # torsion headline: PHI (x2), PSI, CHI1 only — no RAMA, no TICA
+    assert abs(mean_tors - (0.10 + 0.30 + 0.20 + 0.30) / 4) < 1e-12

@@ -1,0 +1,51 @@
+"""GracefulStop: SIGTERM / sentinel-file stop watcher (runtime/preempt.py).
+
+The reference trainer has no graceful-stop path (Lightning loop, killed
+hard on preemption); ours turns SIGTERM or a STOP file into a clean
+checkpoint-and-exit. These tests cover the watcher itself; the train-loop
+wiring is exercised by the quality-loop CLI runs.
+"""
+import os
+import signal
+
+from mdgen_tpu.runtime import GracefulStop
+
+
+def test_sentinel_file_triggers_stop(tmp_path):
+    sentinel = str(tmp_path / "STOP")
+    w = GracefulStop(sentinel, install_signal=False)
+    assert not w.poll()
+    assert not w.poll()
+    open(sentinel, "w").close()
+    assert w.poll()
+    # latched: removing the file does not un-stop
+    os.remove(sentinel)
+    assert w.poll()
+
+
+def test_sigterm_triggers_stop(tmp_path):
+    w = GracefulStop(str(tmp_path / "STOP"))
+    try:
+        assert not w.poll()
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert w.poll()
+    finally:
+        w.close()
+
+
+def test_close_restores_previous_handler(tmp_path):
+    seen = []
+    prev = signal.signal(signal.SIGTERM, lambda s, f: seen.append(s))
+    try:
+        w = GracefulStop(None)
+        w.close()
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert seen == [signal.SIGTERM]
+        assert not w.poll()
+    finally:
+        signal.signal(signal.SIGTERM, prev)
+
+
+def test_no_sentinel_path_never_stats(tmp_path):
+    w = GracefulStop(None, install_signal=False)
+    assert not w.poll()

@@ -12,6 +12,7 @@ Example (4AA forward simulation):
 """
 import argparse
 import os
+import signal
 import time
 
 import jax
@@ -26,7 +27,7 @@ from mdgen_tpu.parallel import (
     shard_batch,
 )
 from mdgen_tpu.protein import atom14_to_pdb
-from mdgen_tpu.runtime import MDGenRuntime, MetricLogger, checkpoint
+from mdgen_tpu.runtime import GracefulStop, MDGenRuntime, MetricLogger, checkpoint
 
 
 def parse_args():
@@ -57,6 +58,9 @@ def parse_args():
     parser.add_argument("--profile_steps", type=int, default=0,
                         help="capture a jax.profiler trace of N steps "
                              "(starting at step 10) into MODEL_DIR/trace")
+    parser.add_argument("--stop_check_freq", type=int, default=20,
+                        help="poll for SIGTERM / MODEL_DIR/STOP every N "
+                             "steps; on stop, save a checkpoint and exit 0")
     # multi-host (DCN): on TPU pod slices all three are auto-detected, so
     # just launching one process per host works with no flags
     parser.add_argument("--coordinator_address", type=str, default=None)
@@ -181,7 +185,26 @@ def main():
         run_validation(0)
         return
 
+    stopper = GracefulStop(os.path.join(model_dir, "STOP"))
+
+    def stop_requested(step):
+        # polled at a fixed step cadence so all dp processes agree on the
+        # exit step; process 0's observation is authoritative
+        if step % args.stop_check_freq != 0:
+            return False
+        local = stopper.poll()
+        if procs == 1:
+            return local
+        from jax.experimental import multihost_utils
+
+        return bool(
+            multihost_utils.broadcast_one_to_all(
+                np.asarray(local if proc_id == 0 else False)
+            )
+        )
+
     step_times = []
+    stopped = False
     for epoch in range(start_epoch, cfg.epochs):
         for batch in train_loader:
             batch.pop("name", None)
@@ -215,6 +238,16 @@ def main():
                 logger.log_dict({k: np.asarray(v) for k, v in metrics.items()}, "train")
             if args.val_freq and int(state.step) % args.val_freq == 0:
                 run_validation(epoch)
+            if stop_requested(int(state.step)):
+                stopped = True
+                break
+        if stopped:
+            logger.flush("train", epoch=epoch, step=int(state.step), save=True)
+            log.info(
+                "graceful stop (SIGTERM or STOP sentinel) at step "
+                f"{int(state.step)}; saving final checkpoint"
+            )
+            break
 
         logger.flush("train", epoch=epoch, step=int(state.step), save=True)
         if not args.no_validate and (epoch + 1) % args.val_epoch_freq == 0:

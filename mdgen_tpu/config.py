@@ -52,6 +52,12 @@ class MDGenConfig:
     # marginals dominate the residual JSD at convergence (round-2/3
     # diagnosis), so upweighting chi channels shifts capacity there.
     chi_loss_weight: float = 1.0
+    # optional per-chi override "w1,w2,w3,w4" multiplied on top of
+    # chi_loss_weight (e.g. "1,1,1,4" targets chi4, the slowest/rarest
+    # rotamer flips — the round-3/4 residual). A comma string rather than
+    # a tuple so the config stays hashable (jit-static) and JSON
+    # round-trippable without type coercion.
+    chi_loss_weights: Optional[str] = None
 
     # -- model -------------------------------------------------------------
     num_layers: int = 5
@@ -170,6 +176,9 @@ def add_model_args(parser):
     g.add_argument("--supervise_no_torsions", action="store_true")
     g.add_argument("--supervise_all_torsions", action="store_true")
     g.add_argument("--chi_loss_weight", type=float, default=1.0)
+    g.add_argument("--chi_loss_weights", type=str, default=None,
+                   help="per-chi loss weights 'w1,w2,w3,w4', multiplied "
+                        "on top of --chi_loss_weight")
     g.add_argument("--no_offsets", action="store_true")
     g.add_argument("--no_frames", action="store_true")
 

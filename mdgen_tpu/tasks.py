@@ -120,12 +120,19 @@ def prep_batch(cfg: MDGenConfig, batch: dict) -> PreparedBatch:
     elif cfg.supervise_no_torsions:
         torsion_loss_mask = jnp.zeros_like(torsion_loss_mask)
 
-    if cfg.chi_loss_weight != 1.0:
+    if cfg.chi_loss_weight != 1.0 or cfg.chi_loss_weights:
         # upweight the sidechain rotamer channels: torsions are ordered
         # (omega, phi, psi, chi1-4) -> sin/cos channels 6..13 are chi1-4.
         # The loss is a mask-weighted mean (transport.mean_flat), so this
         # shifts relative emphasis without changing the loss scale.
         w = jnp.ones((14,), jnp.float32).at[6:].set(cfg.chi_loss_weight)
+        if cfg.chi_loss_weights:
+            per_chi = [float(x) for x in cfg.chi_loss_weights.split(",")]
+            if len(per_chi) != 4:
+                raise ValueError(
+                    f"chi_loss_weights needs 4 values, got {cfg.chi_loss_weights!r}"
+                )
+            w = w.at[6:].mul(jnp.repeat(jnp.asarray(per_chi, jnp.float32), 2))
         torsion_loss_mask = torsion_loss_mask.astype(jnp.float32) * w
         frame_loss_mask = frame_loss_mask.astype(jnp.float32)
 

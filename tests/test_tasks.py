@@ -149,3 +149,30 @@ def test_chi_loss_weight_scales_sidechain_channels(rng):
     np.testing.assert_allclose(lm_w[..., 13:], lm_b[..., 13:] * 5.0)
     # masked torsions stay masked (0 * w == 0): chi1 of residue 0
     assert (lm_w[:, :, 0, 13:15] == 0).all()
+
+
+def test_chi_loss_weights_per_chi(rng):
+    """--chi_loss_weights 'w1,w2,w3,w4' scales each chi's sin/cos pair
+    independently, multiplied on top of the scalar --chi_loss_weight."""
+    import pytest
+
+    batch = make_batch(rng)
+    base = prep_batch(MDGenConfig(sim_condition=True), batch)
+    weighted = prep_batch(
+        MDGenConfig(
+            sim_condition=True, chi_loss_weight=2.0, chi_loss_weights="1,1,1,4"
+        ),
+        batch,
+    )
+    lm_b = np.asarray(base.loss_mask)
+    lm_w = np.asarray(weighted.loss_mask)
+    # offsets + backbone torsions untouched (channels 0..12)
+    np.testing.assert_allclose(lm_w[..., :13], lm_b[..., :13])
+    # chi1-3 pairs get the scalar weight only
+    np.testing.assert_allclose(lm_w[..., 13:19], lm_b[..., 13:19] * 2.0)
+    # chi4 pair gets scalar * per-chi (2 * 4 = 8)
+    np.testing.assert_allclose(lm_w[..., 19:21], lm_b[..., 19:21] * 8.0)
+    with pytest.raises(ValueError, match="chi_loss_weights"):
+        prep_batch(
+            MDGenConfig(sim_condition=True, chi_loss_weights="1,2"), batch
+        )

@@ -36,6 +36,12 @@ def parse_args():
                    help="run the denoiser's residue-attention sublayer as "
                         "one fused Pallas kernel per layer (TPU, "
                         "forward-only; ops/fused_block.py)")
+    p.add_argument("--dp_size", type=int, default=0,
+                   help="shard the peptide batch over a dp device mesh "
+                        "(-1: all local devices; 0: single device). The "
+                        "reference loops rollouts on one GPU "
+                        "(sim_inference.py:61-116); here independent "
+                        "trajectories scale across chips via GSPMD.")
     return p.parse_args()
 
 
@@ -50,7 +56,13 @@ def main():
     cfg = checkpoint.load_config(args.sim_ckpt)
     if args.fused_block:
         cfg = cfg.replace(fused_block=True)
-    rt = MDGenRuntime(cfg)
+    mesh = None
+    if args.dp_size:
+        from mdgen_tpu.parallel import make_mesh
+
+        mesh = make_mesh(dp_size=args.dp_size)
+        print(f"sampling on a dp={mesh.shape['dp']} device mesh")
+    rt = MDGenRuntime(cfg, mesh=mesh)
 
     df = pd.read_csv(args.split, index_col="name")
     names = [n for n in df.index if not args.pdb_id or n in args.pdb_id]
@@ -78,16 +90,53 @@ def main():
             seqres = np.stack(seqreses)
             mask = np.ones_like(seqres, dtype=np.float32)
 
+            if mesh is not None:
+                # pad to a dp multiple (duplicates of peptide 0, dropped at
+                # save time) so every chip holds an equal batch shard
+                dp = mesh.shape["dp"]
+                pad = -len(chunk) % dp
+                if pad:
+                    start = np.concatenate([start, np.repeat(start[:1], pad, 0)])
+                    seqres = np.concatenate(
+                        [seqres, np.repeat(seqres[:1], pad, 0)]
+                    )
+                    mask = np.concatenate([mask, np.repeat(mask[:1], pad, 0)])
+
+            if mesh is not None:
+                from mdgen_tpu.parallel import shard_batch
+
+                sharded = shard_batch(
+                    mesh, {"start": start, "seqres": seqres, "mask": mask}
+                )
+                start, seqres, mask = (
+                    sharded["start"], sharded["seqres"], sharded["mask"]
+                )
+
             if state is None:
                 example = {
                     "atom14": np.broadcast_to(
-                        start[:, None], (len(chunk), cfg.num_frames, *start.shape[1:])
+                        np.asarray(start)[:, None],
+                        (start.shape[0], cfg.num_frames, *start.shape[1:]),
                     ),
-                    "seqres": seqres,
-                    "mask": mask,
+                    "seqres": np.asarray(seqres),
+                    "mask": np.asarray(mask),
                 }
                 state = rt.init(jax.random.PRNGKey(0), example)
                 state, step = checkpoint.load_checkpoint(args.sim_ckpt, state)
+                if mesh is not None:
+                    # orbax restores host arrays; re-pin them to the mesh
+                    from mdgen_tpu.parallel import param_sharding
+
+                    def put(p):
+                        return jax.tree_util.tree_map(
+                            jax.device_put, p, param_sharding(mesh, p)
+                        )
+
+                    state = state.replace(
+                        params=put(state.params),
+                        ema_params=(put(state.ema_params)
+                                    if state.ema_params is not None else None),
+                    )
                 print(f"restored {args.sim_ckpt} at step {step}")
 
             params = rt.eval_params(state)
@@ -96,7 +145,7 @@ def main():
             traj = rt.rollout(params, start, seqres, mask, key, args.num_rollouts)
             traj = np.asarray(jax.block_until_ready(traj))
             dur = time.time() - t0
-            frames = traj.shape[0] * traj.shape[1]
+            frames = len(chunk) * traj.shape[1]
             print(
                 f"{','.join(chunk)}: {frames} frames in {dur:.2f}s "
                 f"({frames/dur:.1f} frames/s)"

@@ -277,3 +277,29 @@ def test_fused_block_under_sp_mesh_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(atom14), np.asarray(atom14_1), atol=2e-2
     )
+
+
+def test_rollout_dp_mesh_matches_single_device():
+    """sim_inference --dp_size: the chained-rollout program sharded over a
+    dp=8 mesh produces the same trajectories as one device (independent
+    peptides scale across chips; the scan stays sequential per peptide)."""
+    cfg = tiny_cfg(dp_size=8)
+    mesh = make_mesh(dp_size=8)
+    rt = MDGenRuntime(cfg, mesh=mesh)
+    batch = make_raw_batch(cfg, B=8)
+    sharded = shard_batch(mesh, batch)
+    state = rt.init(jax.random.PRNGKey(0), sharded)
+    start = sharded["atom14"][:, 0]
+    traj = rt.rollout(
+        state.params, start, sharded["seqres"], sharded["mask"],
+        jax.random.PRNGKey(2), 2,
+    )
+    assert traj.shape == (8, 2 * cfg.num_frames, 4, 14, 3)
+
+    rt1 = MDGenRuntime(tiny_cfg())
+    state1 = rt1.init(jax.random.PRNGKey(0), batch)
+    traj1 = rt1.rollout(
+        state1.params, batch["atom14"][:, 0], batch["seqres"], batch["mask"],
+        jax.random.PRNGKey(2), 2,
+    )
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(traj1), atol=5e-2)

@@ -39,6 +39,9 @@ def parse_args():
                         "temperature (reference stores it train-time only, "
                         "mdgen/parsing.py:105; sampling-time sweep needs no "
                         "retrain)")
+    p.add_argument("--dp_size", type=int, default=0,
+                   help="shard the batch over a dp device mesh "
+                        "(-1: all local devices; 0: single device)")
     return p.parse_args()
 
 
@@ -58,7 +61,13 @@ def main():
         cfg = cfg.replace(fused_block=True)
     if args.dirichlet_flow_temp is not None:
         cfg = cfg.replace(dirichlet_flow_temp=args.dirichlet_flow_temp)
-    rt = MDGenRuntime(cfg)
+    mesh = None
+    if args.dp_size:
+        from mdgen_tpu.parallel import make_mesh
+
+        mesh = make_mesh(dp_size=args.dp_size)
+        print(f"sampling on a dp={mesh.shape['dp']} device mesh")
+    rt = MDGenRuntime(cfg, mesh=mesh)
     rng = np.random.default_rng(args.seed)
     jkey = jax.random.PRNGKey(args.seed)
     state = None
@@ -116,13 +125,20 @@ def main():
                 "seqres": np.broadcast_to(aatype, (B, L)),
                 "mask": np.ones((B, L), np.float32),
             }
+            if mesh is not None:
+                from mdgen_tpu.parallel import pad_batch_to_dp, shard_batch
+
+                batch, _ = pad_batch_to_dp(batch, mesh)
+                batch = shard_batch(mesh, batch)
             if state is None:
                 state = rt.init(jax.random.PRNGKey(0), batch)
-                state, step = checkpoint.load_checkpoint(args.sim_ckpt, state)
+                state, step = checkpoint.load_checkpoint(
+                    args.sim_ckpt, state, mesh=mesh
+                )
                 print(f"restored {args.sim_ckpt} at step {step}")
             jkey, sub = jax.random.split(jkey)
             atom14s, aa_out = rt.inference(rt.eval_params(state), batch, sub)
-            atom14s, aa_out = np.asarray(atom14s), np.asarray(aa_out)
+            atom14s, aa_out = np.asarray(atom14s)[:B], np.asarray(aa_out)[:B]
             for j in range(B):
                 idx = i * B + j
                 path = os.path.join(args.out_dir, f"{name}_{idx}.pdb")

@@ -3,6 +3,7 @@ from .mesh import (  # noqa: F401
     batch_sharding,
     constrain_tokens,
     make_mesh,
+    pad_batch_to_dp,
     param_sharding,
     replicated,
     shard_batch,

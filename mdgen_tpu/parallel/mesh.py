@@ -145,6 +145,29 @@ _T_AXIS_KEYS = frozenset(
 )
 
 
+def pad_batch_to_dp(batch: dict, mesh: Optional[Mesh]):
+    """Pad every leading (batch) axis to a dp multiple by repeating row 0.
+
+    Serving CLIs choose batch sizes by peptide grouping, not mesh shape;
+    padding (dropped by the caller at save time) keeps every chip holding an
+    equal shard. Returns ``(padded_batch, original_B)``.
+    """
+    sizes = [v.shape[0] for v in batch.values() if hasattr(v, "ndim") and v.ndim]
+    B = sizes[0]
+    if mesh is None:
+        return batch, B
+    pad = -B % mesh.shape["dp"]
+    if pad == 0:
+        return batch, B
+
+    def put(x):
+        if not hasattr(x, "ndim") or x.ndim < 1 or x.shape[0] != B:
+            return x
+        return np.concatenate([x, np.repeat(x[:1], pad, axis=0)])
+
+    return {k: put(v) for k, v in batch.items()}, B
+
+
 def shard_batch(mesh: Optional[Mesh], batch):
     """Device-put a host batch: leading axis sharded over dp, and — when the
     mesh has an sp axis — the frame axis of trajectory tensors over sp."""

@@ -45,13 +45,32 @@ def load_config(ckpt_dir: str) -> MDGenConfig:
 
 
 def load_checkpoint(
-    ckpt_dir: str, state_template, step: Optional[int] = None
+    ckpt_dir: str, state_template, step: Optional[int] = None, mesh=None
 ) -> Tuple[object, int]:
-    """Restore a state pytree; ``state_template`` provides structure/dtypes."""
+    """Restore a state pytree; ``state_template`` provides structure/dtypes.
+
+    With ``mesh``, parameters (and EMA) are re-pinned to the mesh via
+    ``param_sharding`` — orbax restores host arrays, and serving CLIs with
+    ``--dp_size`` need them committed so GSPMD does not re-place them per
+    dispatch.
+    """
     step = step if step is not None else latest_step(ckpt_dir)
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     path = os.path.join(os.path.abspath(ckpt_dir), f"step_{step}")
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path, item=jax.device_get(state_template))
+    if mesh is not None:
+        from ..parallel import param_sharding
+
+        def put(p):
+            return jax.tree_util.tree_map(
+                jax.device_put, p, param_sharding(mesh, p)
+            )
+
+        restored = restored.replace(
+            params=put(restored.params),
+            ema_params=(put(restored.ema_params)
+                        if restored.ema_params is not None else None),
+        )
     return restored, step

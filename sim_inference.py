@@ -93,21 +93,12 @@ def main():
             if mesh is not None:
                 # pad to a dp multiple (duplicates of peptide 0, dropped at
                 # save time) so every chip holds an equal batch shard
-                dp = mesh.shape["dp"]
-                pad = -len(chunk) % dp
-                if pad:
-                    start = np.concatenate([start, np.repeat(start[:1], pad, 0)])
-                    seqres = np.concatenate(
-                        [seqres, np.repeat(seqres[:1], pad, 0)]
-                    )
-                    mask = np.concatenate([mask, np.repeat(mask[:1], pad, 0)])
+                from mdgen_tpu.parallel import pad_batch_to_dp, shard_batch
 
-            if mesh is not None:
-                from mdgen_tpu.parallel import shard_batch
-
-                sharded = shard_batch(
-                    mesh, {"start": start, "seqres": seqres, "mask": mask}
+                padded, _ = pad_batch_to_dp(
+                    {"start": start, "seqres": seqres, "mask": mask}, mesh
                 )
+                sharded = shard_batch(mesh, padded)
                 start, seqres, mask = (
                     sharded["start"], sharded["seqres"], sharded["mask"]
                 )
@@ -122,21 +113,9 @@ def main():
                     "mask": np.asarray(mask),
                 }
                 state = rt.init(jax.random.PRNGKey(0), example)
-                state, step = checkpoint.load_checkpoint(args.sim_ckpt, state)
-                if mesh is not None:
-                    # orbax restores host arrays; re-pin them to the mesh
-                    from mdgen_tpu.parallel import param_sharding
-
-                    def put(p):
-                        return jax.tree_util.tree_map(
-                            jax.device_put, p, param_sharding(mesh, p)
-                        )
-
-                    state = state.replace(
-                        params=put(state.params),
-                        ema_params=(put(state.ema_params)
-                                    if state.ema_params is not None else None),
-                    )
+                state, step = checkpoint.load_checkpoint(
+                    args.sim_ckpt, state, mesh=mesh
+                )
                 print(f"restored {args.sim_ckpt} at step {step}")
 
             params = rt.eval_params(state)

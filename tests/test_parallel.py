@@ -303,3 +303,26 @@ def test_rollout_dp_mesh_matches_single_device():
         jax.random.PRNGKey(2), 2,
     )
     np.testing.assert_allclose(np.asarray(traj), np.asarray(traj1), atol=5e-2)
+
+
+def test_pad_batch_to_dp():
+    from mdgen_tpu.parallel import pad_batch_to_dp
+
+    mesh = make_mesh(dp_size=8)
+    batch = {
+        "atom14": np.arange(3 * 2 * 4, dtype=np.float32).reshape(3, 2, 4),
+        "seqres": np.arange(12).reshape(3, 4),
+        "names": ["a", "b", "c"],  # non-array metadata passes through
+    }
+    padded, B = pad_batch_to_dp(batch, mesh)
+    assert B == 3
+    assert padded["atom14"].shape[0] == 8 and padded["seqres"].shape[0] == 8
+    np.testing.assert_array_equal(padded["atom14"][3:], 
+                                  np.repeat(batch["atom14"][:1], 5, 0))
+    np.testing.assert_array_equal(padded["atom14"][:3], batch["atom14"])
+    assert padded["names"] == ["a", "b", "c"]
+    # no mesh / already divisible: unchanged
+    same, B2 = pad_batch_to_dp(batch, None)
+    assert B2 == 3 and same["atom14"].shape[0] == 3
+    b8 = {"x": np.zeros((8, 2))}
+    assert pad_batch_to_dp(b8, mesh)[0]["x"].shape[0] == 8

@@ -27,6 +27,9 @@ def parse_args():
     p.add_argument("--fused_block", action="store_true",
                    help="fused Pallas serving kernels (TPU, forward-only; "
                         "ops/fused_block.py + ops/fused_ffn.py)")
+    p.add_argument("--dp_size", type=int, default=0,
+                   help="shard the batch over a dp device mesh "
+                        "(-1: all local devices; 0: single device)")
     return p.parse_args()
 
 
@@ -45,7 +48,13 @@ def main():
     if args.fused_block:
         cfg = cfg.replace(fused_block=True)
     assert cfg.cond_interval, "checkpoint was not trained with --cond_interval"
-    rt = MDGenRuntime(cfg)
+    mesh = None
+    if args.dp_size:
+        from mdgen_tpu.parallel import make_mesh
+
+        mesh = make_mesh(dp_size=args.dp_size)
+        print(f"sampling on a dp={mesh.shape['dp']} device mesh")
+    rt = MDGenRuntime(cfg, mesh=mesh)
     tokenize = jax.jit(tokenize_atom14)
     jkey = jax.random.PRNGKey(args.seed)
     state = None
@@ -83,9 +92,16 @@ def main():
         all_atom14 = []
         for group, n_real in pad_window_groups(window_batches, args.batch_size):
             batch = {k: np.stack([g[k] for g in group]) for k in group[0]}
+            if mesh is not None:
+                from mdgen_tpu.parallel import pad_batch_to_dp, shard_batch
+
+                batch, _ = pad_batch_to_dp(batch, mesh)
+                batch = shard_batch(mesh, batch)
             if state is None:
                 state = rt.init(jax.random.PRNGKey(0), batch)
-                state, step = checkpoint.load_checkpoint(args.ckpt, state)
+                state, step = checkpoint.load_checkpoint(
+                    args.ckpt, state, mesh=mesh
+                )
                 print(f"restored {args.ckpt} at step {step}")
             jkey, sub = jax.random.split(jkey)
             atom14, _ = rt.inference(rt.eval_params(state), batch, sub)

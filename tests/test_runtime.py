@@ -142,6 +142,23 @@ def test_checkpoint_roundtrip(tmp_path):
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    # mesh-aware restore (serving CLIs with --dp_size): params come back
+    # committed to the mesh instead of as host arrays
+    from jax.sharding import NamedSharding
+
+    from mdgen_tpu.parallel import make_mesh
+
+    mesh = make_mesh(dp_size=8)
+    pinned, _ = ckpt.load_checkpoint(str(tmp_path / "ck"), state, mesh=mesh)
+    leaf = jax.tree_util.tree_leaves(pinned.params)[0]
+    assert isinstance(leaf.sharding, NamedSharding)
+    assert leaf.sharding.mesh.shape["dp"] == 8
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(pinned.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
 
 def test_design_inference_runs_dirichlet_flow():
     """Design-mode sampling exercises the on-device Dirichlet conditional

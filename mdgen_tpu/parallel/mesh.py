@@ -153,7 +153,11 @@ def pad_batch_to_dp(batch: dict, mesh: Optional[Mesh]):
     equal shard. Returns ``(padded_batch, original_B)``.
     """
     sizes = [v.shape[0] for v in batch.values() if hasattr(v, "ndim") and v.ndim]
+    if not sizes:
+        return batch, 0
     B = sizes[0]
+    if any(s != B for s in sizes):
+        raise ValueError(f"unequal leading batch dims: {sorted(set(sizes))}")
     if mesh is None:
         return batch, B
     pad = -B % mesh.shape["dp"]

@@ -7,6 +7,7 @@ self-describing, so inference restores with zero side-band flags.
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Optional, Tuple
 
 import jax
@@ -17,7 +18,16 @@ from ..config import MDGenConfig
 CONFIG_FILE = "config.json"
 
 
-def save_checkpoint(ckpt_dir: str, state, cfg: MDGenConfig, step: int) -> str:
+def save_checkpoint(
+    ckpt_dir: str, state, cfg: MDGenConfig, step: int,
+    keep_last_n: int = 0,
+) -> str:
+    """Save ``step_{step}``; with ``keep_last_n > 0``, prune older step dirs.
+
+    Rotation keeps the newest N step_* checkpoints (including the one just
+    written) — long quality runs at 34M otherwise accumulate ~0.7 GB per
+    1000-step save (29 GB observed for one 41k-step run).
+    """
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     with open(os.path.join(ckpt_dir, CONFIG_FILE), "w") as fh:
@@ -25,6 +35,14 @@ def save_checkpoint(ckpt_dir: str, state, cfg: MDGenConfig, step: int) -> str:
     path = os.path.join(ckpt_dir, f"step_{step}")
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, jax.device_get(state), force=True)
+    if keep_last_n > 0:
+        steps = sorted(
+            int(d.split("_", 1)[1])
+            for d in os.listdir(ckpt_dir)
+            if d.startswith("step_") and d.split("_", 1)[1].isdigit()
+        )
+        for s in steps[:-keep_last_n]:
+            shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"))
     return path
 
 

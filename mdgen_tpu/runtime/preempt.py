@@ -35,6 +35,19 @@ class GracefulStop:
     def _on_signal(self, signum, frame):
         self._flag = True
 
+    def clear_sentinel(self):
+        """Remove a stale STOP file (call at trainer startup, process 0).
+
+        Without this a sentinel committed by a previous graceful stop
+        latches forever: any resumed run in the same model dir would stop
+        again within one poll interval and exit 0 looking like success.
+        Returns True if a stale sentinel was removed.
+        """
+        if self.sentinel_path and os.path.exists(self.sentinel_path):
+            os.remove(self.sentinel_path)
+            return True
+        return False
+
     def poll(self):
         """True once a stop has been requested (signal or sentinel)."""
         if not self._flag and self.sentinel_path:

@@ -61,6 +61,9 @@ def main():
     p.add_argument("--lr", type=float, default=4e-4)
     p.add_argument("--chi_loss_weight", type=float, default=1.0,
                    help="upweight sidechain chi sin/cos loss channels")
+    p.add_argument("--chi_loss_weights", type=str, default=None,
+                   help="per-chi weights 'w1,w2,w3,w4' forwarded to "
+                        "train.py (composes with --chi_loss_weight)")
     p.add_argument("--rigid_data", action="store_true",
                    help="v1 rigid-sidechain synthetic data (delta-function "
                         "chi marginals) instead of rotamer-diverse data")
@@ -144,6 +147,8 @@ def main():
             "--ipa_qk", str(args.ipa_qk), "--ipa_v", str(args.ipa_v),
             "--batch_size", str(args.batch_size), "--lr", str(args.lr),
             "--chi_loss_weight", str(args.chi_loss_weight),
+            *(["--chi_loss_weights", args.chi_loss_weights]
+              if args.chi_loss_weights else []),
             "--epochs", str(args.epochs),
             "--data_dir", data_dir, "--train_split", split,
             "--val_split", split,

@@ -326,3 +326,10 @@ def test_pad_batch_to_dp():
     assert B2 == 3 and same["atom14"].shape[0] == 3
     b8 = {"x": np.zeros((8, 2))}
     assert pad_batch_to_dp(b8, mesh)[0]["x"].shape[0] == 8
+    # a mixed-batch-size dict is an error, not a silent skip
+    import pytest
+
+    with pytest.raises(ValueError, match="unequal leading batch dims"):
+        pad_batch_to_dp({"x": np.zeros((3, 2)), "y": np.zeros((4, 2))}, mesh)
+    # no array leaves: no IndexError, B=0
+    assert pad_batch_to_dp({"names": ["a"]}, None)[1] == 0

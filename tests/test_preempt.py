@@ -49,3 +49,15 @@ def test_close_restores_previous_handler(tmp_path):
 def test_no_sentinel_path_never_stats(tmp_path):
     w = GracefulStop(None, install_signal=False)
     assert not w.poll()
+
+
+def test_clear_sentinel_removes_stale_file(tmp_path):
+    # a STOP file committed by a previous run must not latch a resumed run
+    sentinel = str(tmp_path / "STOP")
+    open(sentinel, "w").close()
+    w = GracefulStop(sentinel, install_signal=False)
+    assert w.clear_sentinel()
+    assert not os.path.exists(sentinel)
+    assert not w.poll()  # cleared before first poll -> no stop
+    # idempotent when there is nothing to clear
+    assert not w.clear_sentinel()

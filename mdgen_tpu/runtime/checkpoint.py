@@ -36,13 +36,18 @@ def save_checkpoint(
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, jax.device_get(state), force=True)
     if keep_last_n > 0:
-        steps = sorted(
-            int(d.split("_", 1)[1])
-            for d in os.listdir(ckpt_dir)
-            if d.startswith("step_") and d.split("_", 1)[1].isdigit()
+        # prune by write recency, NOT step number: a reused run dir can hold
+        # stale higher-step dirs from a previous run, and step-ordering would
+        # keep those while deleting the live run's just-written checkpoints
+        dirs = sorted(
+            (
+                d for d in os.listdir(ckpt_dir)
+                if d.startswith("step_") and d.split("_", 1)[1].isdigit()
+            ),
+            key=lambda d: os.path.getmtime(os.path.join(ckpt_dir, d)),
         )
-        for s in steps[:-keep_last_n]:
-            shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"))
+        for d in dirs[:-keep_last_n]:
+            shutil.rmtree(os.path.join(ckpt_dir, d))
     return path
 
 

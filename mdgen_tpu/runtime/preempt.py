@@ -35,18 +35,36 @@ class GracefulStop:
     def _on_signal(self, signum, frame):
         self._flag = True
 
-    def clear_sentinel(self):
+    def clear_sentinel(self, ckpt_dir=None):
         """Remove a stale STOP file (call at trainer startup, process 0).
 
         Without this a sentinel committed by a previous graceful stop
         latches forever: any resumed run in the same model dir would stop
         again within one poll interval and exit 0 looking like success.
-        Returns True if a stale sentinel was removed.
+
+        With ``ckpt_dir``, only a *consumed* sentinel is removed — one older
+        than the newest ``step_*`` checkpoint in the dir (the previous run's
+        stop path saves AFTER seeing the sentinel, so ckpt newer than STOP
+        means that stop completed). A sentinel newer than every checkpoint
+        (or in a checkpoint-less dir) is a pre-queued stop request for THIS
+        run and is honored, not discarded. Returns True if removed.
         """
-        if self.sentinel_path and os.path.exists(self.sentinel_path):
-            os.remove(self.sentinel_path)
-            return True
-        return False
+        if not (self.sentinel_path and os.path.exists(self.sentinel_path)):
+            return False
+        if ckpt_dir is not None:
+            newest = max(
+                (
+                    os.path.getmtime(os.path.join(ckpt_dir, d))
+                    for d in os.listdir(ckpt_dir)
+                    if d.startswith("step_")
+                    and d.split("_", 1)[1].isdigit()
+                ),
+                default=None,
+            )
+            if newest is None or newest < os.path.getmtime(self.sentinel_path):
+                return False  # pre-queued stop: leave it latched
+        os.remove(self.sentinel_path)
+        return True
 
     def poll(self):
         """True once a stop has been requested (signal or sentinel)."""

@@ -221,6 +221,9 @@ def bench_atlas(args):
             "ms_per_denoiser_step": round(dt / cfg.inference_steps * 1e3, 2),
             "mfu_pct": _mfu(fl, dt),
         }), flush=True)
+        # free the sampling footprint before the train sweep, or a train B
+        # that fits a clean chip is reported as OOM
+        del rt, state, batch
 
     for B in [int(b) for b in args.atlas_train_batches.split(",")]:
         cfgB = cfg.replace(batch_size=B)

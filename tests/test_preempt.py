@@ -61,3 +61,35 @@ def test_clear_sentinel_removes_stale_file(tmp_path):
     assert not w.poll()  # cleared before first poll -> no stop
     # idempotent when there is nothing to clear
     assert not w.clear_sentinel()
+
+
+def test_clear_sentinel_keeps_prequeued_stop(tmp_path):
+    """With ckpt_dir: only a CONSUMED sentinel (older than the newest step_*
+    checkpoint) is stale. A sentinel newer than every checkpoint — or in a
+    checkpoint-less dir — is a pre-queued stop for this run and must stay
+    (code-review round 5: the watchdog-vs-pipelined-launch race)."""
+    import time
+
+    d = tmp_path / "run"
+    d.mkdir()
+    sentinel = str(d / "STOP")
+
+    # checkpoint-less dir: a pre-queued STOP is honored
+    open(sentinel, "w").close()
+    w = GracefulStop(sentinel, install_signal=False)
+    assert not w.clear_sentinel(str(d))
+    assert os.path.exists(sentinel) and w.poll()
+
+    # consumed: a step_* dir written after the sentinel -> stale -> removed
+    time.sleep(0.05)
+    (d / "step_100").mkdir()
+    w2 = GracefulStop(sentinel, install_signal=False)
+    assert w2.clear_sentinel(str(d))
+    assert not os.path.exists(sentinel) and not w2.poll()
+
+    # pre-queued: sentinel NEWER than the newest checkpoint -> kept
+    time.sleep(0.05)
+    open(sentinel, "w").close()
+    w3 = GracefulStop(sentinel, install_signal=False)
+    assert not w3.clear_sentinel(str(d))
+    assert os.path.exists(sentinel) and w3.poll()

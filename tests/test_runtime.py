@@ -144,6 +144,29 @@ def test_checkpoint_rotation_keeps_last_n(tmp_path):
     np.testing.assert_array_equal(restored["w"], state["w"])
 
 
+def test_checkpoint_rotation_prunes_by_recency_not_step(tmp_path):
+    """A reused run dir with STALE higher-step dirs: rotation must keep the
+    live run's just-written checkpoints (newest by mtime), not the stale
+    high-numbered ones (code-review round 5)."""
+    import time
+
+    from mdgen_tpu.runtime import checkpoint as ckpt
+
+    cfg = tiny_cfg()
+    state = {"w": np.arange(4, dtype=np.float32)}
+    d = str(tmp_path / "ck")
+    # previous experiment left high-step checkpoints behind
+    for stale in (41000, 60000):
+        ckpt.save_checkpoint(d, state, cfg, stale)
+    time.sleep(0.05)  # ensure distinct mtimes
+    # fresh run in the same dir
+    for step in (1000, 2000):
+        ckpt.save_checkpoint(d, state, cfg, step, keep_last_n=2)
+        time.sleep(0.05)
+    kept = sorted(x for x in os.listdir(d) if x.startswith("step_"))
+    assert kept == ["step_1000", "step_2000"], kept
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from mdgen_tpu.runtime import checkpoint as ckpt
 

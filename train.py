@@ -190,10 +190,16 @@ def main():
         return
 
     stopper = GracefulStop(os.path.join(model_dir, "STOP"))
-    if proc_id == 0 and stopper.clear_sentinel():
-        # a sentinel left by a previous graceful stop would otherwise latch
-        # and make this (resumed) run silently stop within one poll interval
-        log.warning("removed stale STOP sentinel from a previous run")
+    if proc_id == 0:
+        # a sentinel consumed by a previous graceful stop would otherwise
+        # latch and make this (resumed) run silently stop within one poll
+        # interval; a sentinel NEWER than every checkpoint is a pre-queued
+        # stop request for this run and stays honored
+        if stopper.clear_sentinel(model_dir):
+            log.warning("removed stale STOP sentinel from a previous run")
+        elif os.path.exists(stopper.sentinel_path):
+            log.warning("pre-queued STOP sentinel present: this run will "
+                        "checkpoint and exit within --stop_check_freq steps")
 
     def stop_requested(step):
         # polled at a fixed step cadence so all dp processes agree on the
